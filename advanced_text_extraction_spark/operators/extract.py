@@ -1,0 +1,144 @@
+"""The extraction operator: Arrow-batched ``mapInPandas`` dispatch.
+
+Reference analog: ``extract_from_file`` + ``batch_extract``
+(/root/reference/text_extractor.py:834-885,962-1000) — the resolve →
+dispatch → extract state machine, re-expressed as ONE vectorized pass over
+Arrow record batches. Failures become ``status='error'`` rows instead of
+exceptions (a row never kills the job; reference failure-list analog
+/root/reference/text_extractor.py:987-989).
+
+Dispatch registry mirrors the reference's extractor registry pattern
+(/root/reference/text_extractor.py:156-164,320-325): content_type →
+kernel, selected per row inside the batch (per-element parsing is
+intrinsic, same as any vectorized string kernel).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels.html_extract import extract_html
+from ..kernels.lang import detect_language
+from ..kernels.normalize import normalize_plain
+from ..kernels.pdf_extract import extract_pdf
+from ..kernels.sniff import sniff_content_type
+
+EXTRACTOR_VERSION = "ate-spark/0.1"
+MAX_PAYLOAD_CHARS = 2_000_000
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType([
+        T.StructField("block_idx", T.IntegerType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("src_start", T.IntegerType(), False),
+        T.StructField("src_end", T.IntegerType(), False),
+    ])
+)
+
+EXTRACTED_FIELDS = [
+    T.StructField("content_type", T.StringType(), False),
+    T.StructField("extracted_text", T.StringType(), False),
+    T.StructField("spans", SPAN_TYPE, False),
+    T.StructField("confidence", T.DoubleType(), False),
+    T.StructField("language", T.StringType(), False),
+    T.StructField("status", T.StringType(), False),
+    T.StructField("error", T.StringType(), False),
+    T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), False),
+    T.StructField("extractor_version", T.StringType(), False),
+    T.StructField("proc_us", T.LongType(), False),
+]
+
+
+def output_schema(input_schema: T.StructType) -> T.StructType:
+    """Input columns carried through + SPEC.md §6 computed columns."""
+    return T.StructType(list(input_schema.fields) + EXTRACTED_FIELDS)
+
+
+def _span_dicts(spans) -> list[dict]:
+    return [
+        {"block_idx": b, "start": s, "end": e, "src_start": ss, "src_end": se}
+        for b, s, e, ss, se in spans
+    ]
+
+
+def extract_one(payload: str | None) -> dict:
+    """Engine extraction of ONE payload (SPEC.md §1–§6 dispatch)."""
+    raw = payload or ""
+    truncated = len(raw) > MAX_PAYLOAD_CHARS
+    if truncated:
+        raw = raw[:MAX_PAYLOAD_CHARS]
+    meta = {"raw_len": str(len(raw))}
+    if truncated:
+        meta["truncated"] = "true"
+
+    content_type, pdf_bytes, err = sniff_content_type(raw)
+    text, spans, confidence, status = "", [], 1.0, "ok"
+    if content_type == "pdf":
+        confidence = 0.95  # text_extractor.py:511
+        if err:
+            status = "error"
+        else:
+            try:
+                text, spans, gate, n_pages = extract_pdf(pdf_bytes)
+                meta["text_layer"] = gate
+                meta["n_pages"] = str(n_pages)
+            except Exception as exc:  # malformed PDF → failure-as-data
+                status, err, text, spans = "error", str(exc) or type(exc).__name__, "", []
+    elif content_type == "html":
+        confidence = 0.95  # structured-document tier, text_extractor.py:639
+        text, spans = extract_html(raw)
+        meta["n_blocks"] = str(len(spans))
+    else:
+        confidence = 1.0  # text_extractor.py:945
+        text = normalize_plain(raw)
+        spans = [(0, 0, len(text), 0, len(raw))] if text else []
+        meta["n_blocks"] = "1" if text else "0"
+
+    return {
+        "content_type": content_type,
+        "extracted_text": text,
+        "spans": _span_dicts(spans),
+        "confidence": confidence,
+        "language": detect_language(text),
+        "status": status,
+        "error": err if status == "error" else "",
+        "metadata": meta,
+        "extractor_version": EXTRACTOR_VERSION,
+    }
+
+
+def _extract_batches(batches):
+    """mapInPandas kernel: iterator[pd.DataFrame] → iterator[pd.DataFrame]."""
+    for pdf in batches:
+        t0 = time.perf_counter_ns()
+        recs = [extract_one(p) for p in pdf["text"]]
+        per_row_us = (time.perf_counter_ns() - t0) // 1000 // max(len(recs), 1)
+        out = pdf.copy()
+        for col in ("content_type", "extracted_text", "spans", "confidence",
+                    "language", "status", "error", "metadata",
+                    "extractor_version"):
+            out[col] = [r[col] for r in recs]
+        out["proc_us"] = per_row_us
+        yield out
+
+
+def extract(df: DataFrame) -> DataFrame:
+    """Apply the extraction dispatch over a transcripts DataFrame.
+
+    The payload column must be named ``text``. All input columns are
+    carried through; SPEC.md §6 columns are appended. Partitioning is the
+    caller's concern (see ``plans/pipeline.py`` for the salted layout).
+    """
+    return df.mapInPandas(_extract_batches, schema=output_schema(df.schema))
+
+
+def with_confidence_filter(df: DataFrame, threshold: float) -> DataFrame:
+    """Optional confidence gate (reference P6: config confidence_threshold,
+    /root/reference/text_extractor.py:784)."""
+    return df.filter(F.col("confidence") >= threshold)
