@@ -1,0 +1,127 @@
+"""The flagship extraction job (SURVEY.md §4.3 physical plan).
+
+    scan(transcripts)                         [column-pruned parquet scan]
+      → dropDuplicates(conv_id, turn_idx)     [U1, reference cli.py:430]
+      → part_bucket = pmod(xxhash64(conv_id), n_buckets)
+      → resume skip of completed buckets      [J1 — lineage probe]
+      → Exchange(hash: part_bucket, salt)     [C4 — skew break]
+      → mapInPandas(extract dispatch)         [Arrow-vectorized kernels]
+      → sortWithinPartitions(conv_id, turn)   [W3 — stable order, no global sort]
+      → overwrite extracted/ per bucket + append lineage/
+
+Scale design notes (10^12 turns, 1000 executors):
+- The ONLY shuffle is the salted repartition; everything else is
+  narrow. No collect of data rows ever happens (lineage bucket ids are
+  O(n_buckets) — metadata, not data).
+- Salting: a conversation with 10^9 turns would pin one task if we
+  partitioned by conv_id alone; hashing (part_bucket, salt(turn_idx))
+  caps any task at ~|bucket|/salt rows (reference has no analog — its
+  ThreadPoolExecutor fans out per file, text_extractor.py:962-1000).
+- Lineage granularity = bucket; failed/killed runs redo only missing
+  buckets, and the dynamic partition overwrite makes redo idempotent
+  (no dupes on retry) — the reference's md5 cache-hit short-circuit
+  (text_extractor.py:842-847) lifted to partition granularity.
+- Writes are per-bucket parquet dirs → on Iceberg, per-partition
+  commits; bucket count scales with cluster size, not data size.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import EXTRACTOR_VERSION, extract
+from ..sources import catalog
+
+DEFAULT_N_BUCKETS = 32
+DEFAULT_SALT = 4
+
+
+@dataclass
+class RunStats:
+    run_id: str
+    buckets_done: list[int]
+    buckets_skipped: list[int]
+    input_rows: int
+    wall_sec: float
+
+
+def prepare(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
+    """Dedupe + deterministic bucket assignment (U1 + partition scheme)."""
+    return df.dropDuplicates(["conv_id", "turn_idx"]).withColumn(
+        "part_bucket",
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def salted_repartition(df: DataFrame, n_buckets: int, salt: int) -> DataFrame:
+    """C4 — break long-conversation skew before the extraction UDF.
+
+    Hash layout on (part_bucket, salt(turn_idx)): rows of one bucket land
+    in ≤ salt tasks, each Arrow-batch-sized; order is restored after the
+    UDF (W3), so the shuffle is free to optimize for evenness."""
+    return df.repartition(
+        n_buckets * salt,
+        "part_bucket",
+        F.pmod(F.xxhash64("turn_idx"), F.lit(salt)),
+    )
+
+
+def run_extract_job(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_root: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    salt: int = DEFAULT_SALT,
+    resume: bool = True,
+    only_buckets: list[int] | None = None,
+) -> RunStats:
+    """End-to-end extraction with lineage + idempotent resume.
+
+    ``only_buckets`` restricts the run (test hook simulating a job killed
+    after completing a subset of partitions — FIXTURES.md §3 resume test).
+    """
+    t0 = time.time()
+    run_id = f"run-{int(t0 * 1000):x}"
+
+    df = prepare(transcripts, n_buckets)
+
+    skipped: list[int] = []
+    if resume:
+        skipped = catalog.completed_buckets(spark, out_root, EXTRACTOR_VERSION)
+        if skipped:
+            # metadata-level partition pruning — cheaper than an anti-join
+            df = df.filter(~F.col("part_bucket").isin(skipped))
+    if only_buckets is not None:
+        df = df.filter(F.col("part_bucket").isin(only_buckets))
+
+    df = salted_repartition(df, n_buckets, salt)
+    extracted = extract(df).sortWithinPartitions("conv_id", "turn_idx")
+    catalog.write_extracted(extracted, out_root)
+
+    # Lineage derives from what is durably on disk (read-back of the
+    # buckets just written), not from a recompute of the UDF stage.
+    written = catalog.read_extracted(spark, out_root)
+    if skipped:
+        written = written.filter(~F.col("part_bucket").isin(skipped))
+    if only_buckets is not None:
+        written = written.filter(F.col("part_bucket").isin(only_buckets))
+    lineage = written.groupBy("part_bucket").agg(
+        F.count("*").alias("input_rows"),
+        F.sum(F.element_at("metadata", "raw_len").cast("long")).alias("input_bytes"),
+        F.count("*").alias("output_rows"),
+        F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("error_rows"),
+        (F.sum("proc_us") / F.lit(1000.0)).cast("long").alias("wall_ms"),
+    ).withColumns({
+        "extractor_version": F.lit(EXTRACTOR_VERSION),
+        "run_id": F.lit(run_id),
+        "finished_ts": F.current_timestamp(),
+    })
+    catalog.append_lineage(lineage, out_root)
+
+    rows = lineage.select("part_bucket", "input_rows").collect()
+    return RunStats(run_id, sorted(r[0] for r in rows), skipped,
+                    sum(r[1] for r in rows), time.time() - t0)

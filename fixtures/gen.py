@@ -322,6 +322,8 @@ def gen_transcripts(n_turns: int = 2000, n_convs: int = 50,
     rng.shuffle(rows)  # force the order-restore window (SURVEY §2.4 W3)
     df = pd.DataFrame(rows)
     df["turn_idx"] = df["turn_idx"].astype("int32")
+    # microsecond precision: Spark's parquet reader rejects TIMESTAMP(NANOS)
+    df["ts"] = df["ts"].astype("datetime64[us, UTC]")
     return df
 
 

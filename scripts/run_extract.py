@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Headless extraction job — the spark-submit entry point.
+
+    spark-submit --py-files dist/ate_spark.zip scripts/run_extract.py \
+        --input /path/to/transcripts_parquet --output /path/to/warehouse \
+        [--n-buckets 32] [--salt 4] [--no-resume] [--master local[32]]
+
+Reads the transcript table (BASELINE.json:input_hint shape), runs the
+extraction pipeline (plans/pipeline.py), writes ``extracted/`` +
+``lineage/`` under --output, and prints a one-line JSON summary.
+Replaces the reference's CLI batch driver (/root/reference/cli.py:121-178).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="transcript extraction job")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--salt", type=int, default=4)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from advanced_text_extraction_spark.plans.pipeline import run_extract_job
+    from advanced_text_extraction_spark.sources.session import build_session
+
+    spark = build_session(app_name="ate-extract", master=args.master)
+    try:
+        df = spark.read.parquet(args.input)
+        stats = run_extract_job(
+            spark, df, args.output,
+            n_buckets=args.n_buckets, salt=args.salt,
+            resume=not args.no_resume,
+        )
+        print(json.dumps({
+            "run_id": stats.run_id,
+            "input_rows": stats.input_rows,
+            "buckets_done": stats.buckets_done,
+            "buckets_skipped": stats.buckets_skipped,
+            "wall_sec": round(stats.wall_sec, 3),
+            "turns_per_sec": round(stats.input_rows / stats.wall_sec, 1)
+            if stats.wall_sec else None,
+        }))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

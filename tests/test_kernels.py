@@ -1,0 +1,233 @@
+"""Kernel unit tests (SURVEY §5.2 layer 1) — handcrafted edge cases.
+
+These pin the SPEC.md semantics with known inputs/outputs, independent of
+the oracle (which tests/test_golden.py cross-checks at scale).
+"""
+
+import base64
+import random
+import zlib
+
+import pytest
+
+from advanced_text_extraction_spark.kernels.html_extract import extract_html
+from advanced_text_extraction_spark.kernels.lang import detect_language
+from advanced_text_extraction_spark.kernels.normalize import (
+    normalize_inline,
+    normalize_plain,
+)
+from advanced_text_extraction_spark.kernels.pdf_extract import PdfError, extract_pdf
+from advanced_text_extraction_spark.kernels.sniff import sniff_content_type
+from fixtures.gen import build_pdf
+
+
+# ---------------------------------------------------------------- normalize
+def test_normalize_crlf_nbsp_zw():
+    s = "a\r\nb c​d"
+    assert normalize_plain(s) == "a\nb c​d".replace("​", "")
+
+
+def test_normalize_nfc_combining():
+    assert normalize_plain("café") == "café"
+
+
+def test_normalize_space_runs_and_newlines():
+    assert normalize_plain("x  \t y \n\n\n\n z ") == "x y\n\nz"
+
+
+def test_normalize_inline_collapses_all_ws():
+    assert normalize_inline(" a\n b  c ") == "a b c"
+
+
+def test_normalize_empty_and_ws_only():
+    assert normalize_plain("") == ""
+    assert normalize_plain(" \t \n ") == ""
+
+
+# -------------------------------------------------------------------- sniff
+def test_sniff_plain():
+    assert sniff_content_type("just words < 3 and such")[0] == "text"
+
+
+def test_sniff_html_doctype_and_tags():
+    assert sniff_content_type("<!DOCTYPE html><p>x</p>")[0] == "html"
+    assert sniff_content_type("text with <div class='a'>block</div>")[0] == "html"
+
+
+def test_sniff_pdf_roundtrip():
+    raw = build_pdf([["hello world from the spec"]], random.Random(0), flate=False)
+    payload = base64.b64encode(raw).decode()
+    ct, blob, err = sniff_content_type(payload)
+    assert ct == "pdf" and err == "" and blob.startswith(b"%PDF")
+
+
+def test_sniff_pdf_broken_base64():
+    ct, blob, err = sniff_content_type("JVBERiBicm9rZW4")
+    assert ct == "pdf" and blob is None and err
+
+
+def test_sniff_empty():
+    assert sniff_content_type("")[0] == "text"
+
+
+# --------------------------------------------------------------------- lang
+def test_lang_en_es_unknown():
+    assert detect_language("the cat and the dog is here") == "en"
+    assert detect_language("el perro y los gatos por la casa") == "es"
+    assert detect_language("lorem ipsum dolor sit amet") == "unknown"
+    assert detect_language("") == "unknown"
+
+
+# --------------------------------------------------------------------- html
+def test_html_basic_boilerplate_strip():
+    doc = (
+        "<html><head><title>T</title><script>var x='<p>no</p>';</script></head>"
+        "<body><nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+        "<p>Main content paragraph with plenty of words here.</p>"
+        "<footer>© corp</footer></body></html>"
+    )
+    text, spans = extract_html(doc)
+    assert text == "Main content paragraph with plenty of words here."
+    assert len(spans) == 1
+    b, s, e, ss, se = spans[0]
+    assert (b, s, e) == (0, 0, len(text))
+    assert doc[ss:se] == "Main content paragraph with plenty of words here."
+
+
+def test_html_link_density_drops_linkfarm():
+    doc = (
+        "<div><a href='1'>one</a> <a href='2'>two</a> <a href='3'>three</a></div>"
+        "<p>Real sentence with many ordinary words in it.</p>"
+    )
+    text, _ = extract_html(doc)
+    assert text == "Real sentence with many ordinary words in it."
+
+
+def test_html_incontent_link_kept():
+    doc = "<p>A long sentence mentioning <a href='/x'>one link</a> among many words.</p>"
+    text, _ = extract_html(doc)
+    assert "one link" in text
+
+
+def test_html_chrome_class_dropped():
+    doc = (
+        '<div class="cookie-banner">We use cookies for fun and profit.</div>'
+        "<p>Content sentence that should survive the chrome filter.</p>"
+    )
+    text, _ = extract_html(doc)
+    assert text == "Content sentence that should survive the chrome filter."
+
+
+def test_html_entities_decoded():
+    doc = "<p>Fish &amp; chips &#x27;quoted&#39; costs&nbsp;5</p>"
+    text, _ = extract_html(doc)
+    assert text == "Fish & chips 'quoted' costs 5"
+
+
+def test_html_blocks_joined_with_blank_line():
+    doc = "<p>First block here now.</p><p>Second block here too.</p>"
+    text, spans = extract_html(doc)
+    assert text == "First block here now.\n\nSecond block here too."
+    assert spans[1][0] == 1 and text[spans[1][1]:spans[1][2]] == "Second block here too."
+
+
+def test_html_unclosed_tags_tolerated():
+    doc = "<div><p>Unclosed paragraph flows on<div>Next block text here"
+    text, _ = extract_html(doc)
+    assert "Unclosed paragraph flows on" in text
+    assert "Next block text here" in text
+
+
+def test_html_all_boilerplate_empty():
+    doc = "<nav><a href='/'>Home</a></nav><footer>foot</footer>"
+    text, spans = extract_html(doc)
+    assert text == "" and spans == []
+
+
+def test_html_br_is_space():
+    doc = "<p>line one<br>line two</p>"
+    text, _ = extract_html(doc)
+    assert text == "line one line two"
+
+
+# ---------------------------------------------------------------------- pdf
+def _pdf(pages, flate=False, seed=0):
+    return build_pdf(pages, random.Random(seed), flate=flate)
+
+
+def test_pdf_single_page_order_restored():
+    raw = _pdf([["first line of text here", "second line of text here",
+                 "third line of text here"]])
+    text, spans, gate, n_pages = extract_pdf(raw)
+    assert text.split("\n") == [
+        "first line of text here",
+        "second line of text here",
+        "third line of text here",
+    ]
+    assert gate == "ok" and n_pages == 1
+    assert spans == [(0, 0, len(text), -1, -1)]
+
+
+def test_pdf_multipage_join():
+    raw = _pdf([["page one content line alpha beta"],
+                ["page two content line gamma delta"]])
+    text, spans, gate, n_pages = extract_pdf(raw)
+    assert "\n\n" in text and n_pages == 2
+    p1, p2 = text.split("\n\n")
+    assert "page one" in p1 and "page two" in p2
+
+
+def test_pdf_flate_variant():
+    raw = _pdf([["compressed stream line with several words here"]], flate=True)
+    text, _, _, _ = extract_pdf(raw)
+    assert "compressed stream line" in text
+
+
+def test_pdf_escapes_and_octal():
+    content = (b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+               b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+               b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    stream = rb"BT 72 700 Td (paren \( close \) back \\ octal \101) Tj ET"
+    obj4 = (b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+            + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n")
+    raw = b"%PDF-1.4\n" + content + obj4 + b"%%EOF"
+    text, _, gate, _ = extract_pdf(raw)
+    assert text == "paren ( close ) back \\ octal A"
+    assert gate == "short"
+
+
+def test_pdf_tj_kerning():
+    stream = b"BT 72 700 Td [(Hel) -50 (lo) -250 (world)] TJ ET"
+    raw = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+           + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n%%EOF")
+    text, _, _, _ = extract_pdf(raw)
+    assert text == "Hello world"
+
+
+def test_pdf_hex_string():
+    stream = b"BT 72 700 Td <48656c6c6f> Tj ET"
+    raw = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+           + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n%%EOF")
+    text, _, _, _ = extract_pdf(raw)
+    assert text == "Hello"
+
+
+def test_pdf_malformed_raises():
+    with pytest.raises((PdfError, Exception)):
+        extract_pdf(b"%PDF-1.4\ngarbage with no objects")
+
+
+def test_pdf_endobj_inside_flate_stream_survives():
+    # compressed bytes can contain 'endobj'; /Length must win
+    payload = b"BT 72 700 Td (sturdy object scan test line) Tj ET"
+    comp = zlib.compress(payload)
+    assert b"endobj" not in comp  # make the test honest about what it checks
+    raw = build_pdf([["sturdy object scan test line indeed"]], random.Random(3), flate=True)
+    text, _, _, _ = extract_pdf(raw)
+    assert "sturdy object scan" in text

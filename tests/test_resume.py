@@ -1,0 +1,65 @@
+"""Resume / idempotency tests (SURVEY §5.2 layer 3, FIXTURES.md §3).
+
+Simulates a job killed after completing a subset of buckets, then a
+resumed run; asserts no duplicates, identical final table, and that a
+re-run of a completed job performs ~zero extraction work (the lineage
+anti-probe — reference md5 cache-hit analog text_extractor.py:842-847)."""
+
+from __future__ import annotations
+
+import pytest
+
+from advanced_text_extraction_spark.operators.extract import EXTRACTOR_VERSION
+from advanced_text_extraction_spark.plans.pipeline import run_extract_job
+from advanced_text_extraction_spark.sources import catalog
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def roots(spark, transcripts_path, tmp_path_factory):
+    return spark.read.parquet(transcripts_path), str(tmp_path_factory.mktemp("wh_resume"))
+
+
+def test_partial_then_resume(spark, roots):
+    df, root = roots
+    # "killed" run: only half the buckets complete
+    first = run_extract_job(spark, df, root, n_buckets=N_BUCKETS, salt=2,
+                            only_buckets=[0, 1, 2, 3])
+    assert set(first.buckets_done) <= {0, 1, 2, 3}
+    done_before = catalog.completed_buckets(spark, root, EXTRACTOR_VERSION)
+    assert done_before == sorted(first.buckets_done)
+
+    # resumed run completes the rest, skipping finished buckets
+    second = run_extract_job(spark, df, root, n_buckets=N_BUCKETS, salt=2)
+    assert sorted(second.buckets_skipped) == done_before
+    assert not set(second.buckets_done) & set(done_before)
+
+    out = catalog.read_extracted(spark, root)
+    total = out.count()
+    assert total == df.dropDuplicates(["conv_id", "turn_idx"]).count()
+    assert out.dropDuplicates(["conv_id", "turn_idx"]).count() == total
+
+
+def test_completed_rerun_is_noop(spark, roots):
+    df, root = roots
+    before = catalog.read_extracted(spark, root).count()
+    third = run_extract_job(spark, df, root, n_buckets=N_BUCKETS, salt=2)
+    assert third.buckets_done == []            # nothing re-extracted
+    assert third.input_rows == 0
+    assert len(third.buckets_skipped) == len(
+        catalog.completed_buckets(spark, root, EXTRACTOR_VERSION))
+    assert catalog.read_extracted(spark, root).count() == before
+
+
+def test_rerun_bucket_is_idempotent(spark, roots, golden_pdf):
+    """Force-redo one completed bucket (resume=False, only that bucket):
+    dynamic partition overwrite must leave the table byte-identical."""
+    df, root = roots
+    run_extract_job(spark, df, root, n_buckets=N_BUCKETS, salt=2,
+                    resume=False, only_buckets=[0])
+    out = catalog.read_extracted(spark, root).toPandas()
+    assert not out.duplicated(["conv_id", "turn_idx"]).any()
+    merged = out.merge(golden_pdf, on=["conv_id", "turn_idx"],
+                       suffixes=("", "_g"), validate="one_to_one")
+    assert (merged.extracted_text == merged.extracted_text_g).all()
