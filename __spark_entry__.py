@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction over transcripts synthesized
+deterministically from sf0.001 ``documents`` (input_hint shape; no external
+data). ``queries()`` — one entry per implemented operator from SURVEY.md §2
+plus the training-data-pipeline operators (dedup / similarity / text
+analysis). ``oracle_sql()`` — DuckDB equivalents, value-hash-aligned
+(aliases match, float math stabilized via early decimal casts or 6dp
+rounding).
 """
 
 from __future__ import annotations
@@ -12,27 +14,567 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from advanced_text_extraction_spark.functions.text import (
+    char_count,
+    content_type_prefilter,
+    flatten_newlines,
+    preview,
+    word_count,
+)
+from advanced_text_extraction_spark.operators import dedup as D
+from advanced_text_extraction_spark.operators import similarity as S
+from advanced_text_extraction_spark.operators import summarize as A
+from advanced_text_extraction_spark.operators import textstats as TS
+from advanced_text_extraction_spark.operators import windows as W
+from advanced_text_extraction_spark.operators.extract import extract
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship entry: documents → synthetic transcripts → extraction pipeline
+# ---------------------------------------------------------------------------
+
+def synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcript table from ``documents`` (input_hint shape):
+    70% plain payloads, 25% wrapped in an HTML page with boilerplate
+    chrome, 5% a fixed base64 PDF (seeded fixture writer). All native
+    column ops — no data leaves the JVM to build the input."""
+    import base64
+    import random
+
+    from fixtures.gen import build_pdf
+
+    pdf_payload = base64.b64encode(
+        build_pdf([["figure table caption result metric sample window stream",
+                    "alpha beta gamma delta report summary value line"]],
+                  random.Random(42), flate=True)
+    ).decode("ascii")
+
+    docs = _t(spark, sf_dir, "documents")
+    mod = F.pmod(F.col("doc_id"), F.lit(20))
+    html_payload = F.concat(
+        F.lit("<html><head><title>Doc</title><style>p{margin:0}</style></head>"
+              "<body><nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+              "<div class='cookie-banner'>We use cookies. "
+              "<a href='/ok'>Accept</a></div><main><p>"),
+        F.col("text"),
+        F.lit("</p></main><footer><a href='/tos'>Terms</a></footer></body></html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("conv-"), F.pmod(F.col("doc_id"), F.lit(40)).cast("string")
+                 ).alias("conv_id"),
+        (F.col("doc_id") / 40).cast("int").alias("turn_idx"),
+        F.element_at(F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+                     F.pmod(F.col("doc_id"), F.lit(3)).cast("int") + 1).alias("role"),
+        F.when(mod < 14, F.col("text"))
+        .when(mod < 19, html_payload)
+        .otherwise(F.lit(pdf_payload)).alias("text"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 2, F.lit("browser"))
+        .otherwise(F.lit(None).cast("string")).alias("tool"),
+        F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id") * 60).alias("ts"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize transcripts from sf0.001 documents, run the full
+    extraction dispatch, restore stable turn order (SURVEY §4.3 plan)."""
+    from advanced_text_extraction_spark.plans.pipeline import (
+        prepare,
+        salted_repartition,
+    )
 
+    tr = prepare(synth_transcripts(spark, SF0001), n_buckets=8)
+    out = extract(salted_repartition(tr, n_buckets=8, salt=2))
+    return W.restore_order(out).select(
+        "conv_id", "turn_idx", "role", "content_type", "extracted_text",
+        "spans", "confidence", "language", "status",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries: Spark implementations
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- A1–A5 reporting (SURVEY §2.3) ----
+    q["summary_stats"] = lambda s, d: A.batch_summary(_t(s, d, "documents"))
+    q["lang_distribution"] = lambda s, d: A.distribution(_t(s, d, "documents"), "lang")
+    q["source_distribution"] = lambda s, d: A.distribution(_t(s, d, "documents"), "source")
+    q["value_buckets"] = lambda s, d: A.value_buckets(_t(s, d, "events"), "value", 50.0, 150.0)
+    q["full_summary_by_lang"] = lambda s, d: A.full_summary(_t(s, d, "documents"), "lang")
+
+    # ---- W1/W2/W4 windows (SURVEY §2.4) ----
+    q["latest_per_user"] = lambda s, d: W.latest_per_key(
+        _t(s, d, "events").withColumn("ord", F.struct("ts", "event_id")),
+        "user_id", "ord").select("user_id", "event_id", "ts", "event_type", "value")
+    q["recent_events_top100"] = lambda s, d: (
+        _t(s, d, "events")
+        .orderBy(F.desc("ts"), F.desc("event_id")).limit(100)
+        .select("event_id", "ts", "event_type", preview(F.col("props"), 50).alias("preview"))
+    )
+    def _user_event_seq(s: SparkSession, d: str) -> DataFrame:
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return _t(s, d, "events").select(
+            "user_id", "event_id",
+            F.row_number().over(w).cast("long").alias("seq"))
+
+    q["user_event_seq"] = _user_event_seq
+
+    # ---- F4–F6/F12 scalar functions over documents ----
+    q["token_stats"] = lambda s, d: TS.token_stats(_t(s, d, "documents"), "doc_id", "text")
+    q["doc_previews"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id", preview(F.col("text"), 100).alias("preview"),
+        flatten_newlines(F.col("text")).alias("flat"),
+        char_count(F.col("text")).alias("n_chars"),
+        word_count(F.col("text")).alias("n_words"))
+
+    # ---- relational / joins (broadcast-dim star queries) ----
+    q["tpch_q1"] = _tpch_q1
+    q["revenue_by_nation"] = _revenue_by_nation
+    q["top_customers"] = _top_customers
+
+    # ---- dedup suite ----
+    q["dedup_exact_props"] = lambda s, d: D.exact_dup_groups(
+        _t(s, d, "events"), "event_id", "props")
+    q["minhash_signatures"] = lambda s, d: D.minhash_signatures(
+        D.word_shingles(_t(s, d, "documents"), "doc_id", "text"), "doc_id")
+    q["lsh_candidate_pairs"] = lambda s, d: D.lsh_candidate_pairs(
+        D.minhash_signatures(
+            D.word_shingles(_t(s, d, "documents"), "doc_id", "text"), "doc_id"),
+        "doc_id")
+    q["ngram_jaccard_pairs"] = lambda s, d: D.ngram_jaccard_pairs(
+        D.word_shingles(_t(s, d, "documents"), "doc_id", "text"), "doc_id", 0.1)
+    q["simhash32"] = lambda s, d: D.simhash32(_t(s, d, "documents"), "doc_id", "text")
+
+    # ---- similarity search ----
+    def _query_vec(s: SparkSession, d: str) -> list[float]:
+        row = _t(s, d, "embeddings").filter(F.col("vec_id") == 0).first()
+        return [float(x) for x in row["embedding"]]
+
+    q["cosine_topk"] = lambda s, d: S.cosine_topk(
+        _t(s, d, "embeddings"), _query_vec(s, d), k=10)
+    q["ann_lsh_bucket_topk"] = lambda s, d: S.lsh_bucket_topk(
+        _t(s, d, "embeddings"), _query_vec(s, d), k=10)
+
+    # ---- text analysis ----
+    q["quality_score"] = lambda s, d: TS.quality_score(_t(s, d, "documents"), "doc_id", "text")
+    q["lang_id_sql"] = lambda s, d: TS.lang_id_sql(_t(s, d, "documents"), "doc_id", "text")
+    q["winnow_fingerprints"] = lambda s, d: TS.winnow_fingerprints(
+        _t(s, d, "documents"), "doc_id", "text")
+
+    # ---- extraction tier exposed to the oracle gate ----
+    q["sniff_content_type"] = lambda s, d: _t(s, d, "documents").select(
+        "doc_id", content_type_prefilter(F.col("text")).alias("content_type"))
+    q["extract_html_roundtrip"] = _extract_html_roundtrip
+    q["normalize_text"] = _normalize_text
+
+    # ---- flagship end-to-end (non-SQL-expressible: PDF/base64 payloads) ----
+    q["extract_transcripts_e2e"] = lambda s, d: (
+        extract(synth_transcripts(s, d))
+        .select("conv_id", "turn_idx", "content_type", "extracted_text",
+                "confidence", "language", "status")
+    )
+    return q
+
+
+def _tpch_q1(s: SparkSession, d: str) -> DataFrame:
+    li = _t(s, d, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _revenue_by_nation(s: SparkSession, d: str) -> DataFrame:
+    li = _t(s, d, "lineitem")
+    orders = _t(s, d, "orders")
+    cust = _t(s, d, "customer")
+    nation = _t(s, d, "nation")
+    region = _t(s, d, "region")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    # dims broadcast; the only real shuffle is lineitem⋈orders + final agg
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _top_customers(s: SparkSession, d: str) -> DataFrame:
+    orders = _t(s, d, "orders")
+    cust = _t(s, d, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+             .alias("total_spent"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("total_spent"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def _extract_html_roundtrip(s: SparkSession, d: str) -> DataFrame:
+    """Wrap each document in an HTML page with boilerplate chrome, run the
+    REAL extraction operator, return the extracted main content. The DuckDB
+    oracle computes the expected text directly from ``documents.text``
+    (nfc + whitespace collapse) — a value-level cross-check of the HTML
+    kernel through the driver gate."""
+    docs = _t(s, d, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>T</title></head><body>"
+              "<nav><a href='/'>Home</a> <a href='/b'>Blog</a></nav>"
+              "<div class='sidebar'><a href='/r1'>rel one</a></div><article><p>"),
+        F.col("text"),
+        F.lit("</p></article><footer>© corp</footer></body></html>"),
+    )
+    wrapped = docs.select(
+        F.lit("c").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        page.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    return extract(wrapped).select(
+        F.col("turn_idx").cast("long").alias("doc_id"),
+        F.col("extracted_text"), F.col("content_type"),
+    )
+
+
+def _normalize_text(s: SparkSession, d: str) -> DataFrame:
+    """The normalization kernel (SPEC.md §2) over documents.text via the
+    extraction operator's plain-text branch."""
+    docs = _t(s, d, "documents").select(
+        F.lit("c").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"), F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    return extract(docs).select(
+        F.col("turn_idx").cast("long").alias("doc_id"),
+        F.col("extracted_text").alias("normalized"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_WORDS_EXPR = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+def _lang_hits(lang_words: list[str]) -> str:
+    pat = r"\b(" + "|".join(sorted(lang_words)) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from advanced_text_extraction_spark.kernels.lang import STOPWORDS
+
+    o: dict[str, str] = {}
+
+    o["summary_stats"] = f"""
+        SELECT count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(sum({_WORDS_EXPR}) AS BIGINT) AS total_words,
+               round(avg(length(text)), 4) AS avg_chars,
+               min(length(text)) AS min_chars,
+               max(length(text)) AS max_chars
+        FROM documents"""
+
+    o["lang_distribution"] = """
+        SELECT lang, count(*) AS n,
+               round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS pct
+        FROM documents GROUP BY lang"""
+
+    o["source_distribution"] = """
+        SELECT source, count(*) AS n,
+               round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS pct
+        FROM documents GROUP BY source"""
+
+    o["value_buckets"] = """
+        SELECT CASE WHEN value >= 150.0 THEN 'high'
+                    WHEN value >= 50.0 THEN 'medium'
+                    ELSE 'low' END AS bucket,
+               count(*) AS n, round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1"""
+
+    o["full_summary_by_lang"] = f"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(sum({_WORDS_EXPR}) AS BIGINT) AS total_words,
+               round(avg(length(text)), 4) AS avg_chars
+        FROM documents GROUP BY lang"""
+
+    o["latest_per_user"] = """
+        SELECT user_id, event_id, ts, event_type, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+            FROM events) WHERE rn = 1"""
+
+    o["recent_events_top100"] = """
+        SELECT event_id, ts, event_type, substring(props, 1, 50) AS preview
+        FROM events ORDER BY ts DESC, event_id DESC LIMIT 100"""
+
+    o["user_event_seq"] = """
+        SELECT user_id, event_id, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        FROM events"""
+
+    o["token_stats"] = f"""
+        SELECT doc_id, length(text) AS n_chars, {_WORDS_EXPR} AS n_words,
+               len(string_split(text, chr(10))) AS n_lines,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+        FROM documents"""
+
+    o["doc_previews"] = f"""
+        SELECT doc_id, substring(text, 1, 100) AS preview,
+               replace(text, chr(10), ' ') AS flat,
+               length(text) AS n_chars, {_WORDS_EXPR} AS n_words
+        FROM documents"""
+
+    o["tpch_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus"""
+
+    o["revenue_by_nation"] = """
+        SELECT r_name, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name"""
+
+    o["top_customers"] = """
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY total_spent DESC, c_custkey LIMIT 20"""
+
+    o["dedup_exact_props"] = """
+        SELECT md5(props) AS text_hash, min(event_id) AS keeper_id,
+               count(*) AS n_copies
+        FROM events GROUP BY md5(props) HAVING count(*) > 1"""
+
+    _shingles = """
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents),
+        shin AS (
+            SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+            FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+            WHERE len(ws) >= 3)"""
+
+    o["minhash_signatures"] = _shingles + """
+        SELECT doc_id, perm, min(md5(concat_ws(':', perm, shingle))) AS minhash
+        FROM shin, UNNEST(generate_series(0, 11)) AS p(perm)
+        GROUP BY doc_id, perm"""
+
+    o["lsh_candidate_pairs"] = _shingles + """,
+        sig AS (
+            SELECT doc_id, perm, min(md5(concat_ws(':', perm, shingle))) AS minhash
+            FROM shin, UNNEST(generate_series(0, 11)) AS p(perm)
+            GROUP BY doc_id, perm),
+        keys AS (
+            SELECT doc_id, (perm // 3) AS band,
+                   md5(string_agg(minhash, ',' ORDER BY perm)) AS band_key
+            FROM sig GROUP BY doc_id, (perm // 3))
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM keys a JOIN keys b USING (band, band_key)
+        WHERE a.doc_id < b.doc_id"""
+
+    o["ngram_jaccard_pairs"] = _shingles + """,
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shin GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM shin a JOIN shin b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.1"""
+
+    o["simhash32"] = """
+        WITH toks AS (
+            SELECT doc_id, md5(tok) AS h
+            FROM (SELECT doc_id, unnest(string_split_regex(
+                      lower(trim(text)), '[^a-z0-9]+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''),
+        bits AS (
+            SELECT doc_id, j,
+                   (((strpos('0123456789abcdef',
+                              substring(h, (j // 4) + 1, 1)) - 1)
+                     >> (j % 4)) & 1) * 2 - 1 AS c
+            FROM toks, UNNEST(generate_series(0, 31)) AS b(j)),
+        sums AS (SELECT doc_id, j, sum(c) AS s FROM bits GROUP BY doc_id, j)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM sums GROUP BY doc_id"""
+
+    _cos = """
+        WITH q AS (
+            SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id = 0),
+        ev AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings),
+        dots AS (
+            SELECT vec_id, sum(v * qv) AS dot, sum(v * v) AS sa
+            FROM ev JOIN q USING (i) GROUP BY vec_id),
+        qn AS (SELECT sum(qv * qv) AS sq FROM q)
+        SELECT vec_id,
+               round(dot / (sqrt(sa) * sqrt(sq) + 1e-12), 6) AS cos_sim
+        FROM dots, qn"""
+
+    o["cosine_topk"] = _cos + " ORDER BY cos_sim DESC, vec_id LIMIT 10"
+
+    o["ann_lsh_bucket_topk"] = """
+        WITH bucketed AS (
+            SELECT *,
+                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                 + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+                 + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+                 + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+                 + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+            FROM embeddings),
+        qb AS (SELECT bucket AS b FROM bucketed WHERE vec_id = 0),
+        q AS (
+            SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id = 0),
+        ev AS (
+            SELECT vec_id, bucket, CAST(unnest(embedding) AS DOUBLE) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM bucketed, qb WHERE bucket = qb.b),
+        dots AS (
+            SELECT vec_id, bucket, sum(v * qv) AS dot, sum(v * v) AS sa
+            FROM ev JOIN q USING (i) GROUP BY vec_id, bucket),
+        qn AS (SELECT sum(qv * qv) AS sq FROM q)
+        SELECT vec_id, bucket,
+               round(dot / (sqrt(sa) * sqrt(sq) + 1e-12), 6) AS cos_sim
+        FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+    en = sorted(STOPWORDS["en"])
+    o["quality_score"] = f"""
+        SELECT doc_id,
+               round(len(regexp_extract_all(text, '[A-Za-z]'))
+                     / (length(text) + 1e-9), 6) AS alpha_ratio,
+               round(len(regexp_extract_all(text, '[.,;:!?]'))
+                     / ({_WORDS_EXPR} + 1e-9), 6) AS punct_ratio,
+               round({_lang_hits(en)} / ({_WORDS_EXPR} + 1e-9), 6) AS stop_ratio,
+               round(0.25 * least(1.0, length(text) / 500.0)
+                   + 0.25 * (len(regexp_extract_all(text, '[A-Za-z]'))
+                             / (length(text) + 1e-9))
+                   + 0.25 * least(1.0, ({_lang_hits(en)}
+                                  / ({_WORDS_EXPR} + 1e-9)) * 4)
+                   + 0.25 * (1 - least(1.0,
+                       len(regexp_extract_all(text, '[.,;:!?]'))
+                             / ({_WORDS_EXPR} + 1e-9))), 6) AS quality
+        FROM documents"""
+
+    hits = {k: _lang_hits(sorted(v)) for k, v in sorted(STOPWORDS.items())}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    pred = "'unknown'"
+    for lang in sorted(hits, reverse=True):
+        pred = (f"CASE WHEN {hits[lang]} = {best} AND {best} >= 2 "
+                f"THEN '{lang}' ELSE {pred} END")
+    o["lang_id_sql"] = f"SELECT doc_id, {pred} AS lang_pred FROM documents"
+
+    o["winnow_fingerprints"] = """
+        WITH grams AS (
+            SELECT doc_id, i, md5(substring(text, i, 8)) AS h
+            FROM documents,
+                 UNNEST(generate_series(1, length(text) - 7)) AS t(i)
+            WHERE length(text) >= 8),
+        fps AS (
+            SELECT DISTINCT doc_id, min(h) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM grams)
+        SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+        FROM fps GROUP BY doc_id"""
+
+    o["sniff_content_type"] = r"""
+        SELECT doc_id,
+               CASE WHEN starts_with(trim(text), 'JVBE') THEN 'pdf'
+                    WHEN regexp_matches(trim(text),
+                         '(?is)<(!doctype\s+html|html|head|body|div|p|br|h[1-6]|ul|ol|li|table|a|span|nav|footer|header|article|section|main)[\s>]')
+                    THEN 'html' ELSE 'text' END AS content_type
+        FROM documents"""
+
+    o["extract_html_roundtrip"] = """
+        SELECT doc_id,
+               trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))
+                   AS extracted_text,
+               'html' AS content_type
+        FROM documents"""
+
+    o["normalize_text"] = """
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(
+                        nfc_normalize(text),
+                        '\\r\\n|\\r', chr(10), 'g'),
+                        '[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]', '', 'g'),
+                    '[ \\t\\x{00a0}]+', ' ', 'g'),
+                    ' *\\n *', chr(10), 'g'),
+                    '\\n{3,}', chr(10) || chr(10), 'g')) AS normalized
+        FROM documents"""
+
+    # extract_transcripts_e2e intentionally omitted: base64-PDF payloads are
+    # not SQL-expressible — driver records the weaker rows-only check;
+    # pytest's golden suite covers it at value level.
+    return o

@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data curation: language id,
+quality scoring, token counting, document fingerprinting.
+
+All native column expressions (regexp_count / split / md5 / windows) —
+these run on every document of a 100 TB corpus, so staying inside
+WholeStageCodegen is the difference between a scan-bound and an
+interpreter-bound job. The pandas-UDF language id (kernels/lang.py) is the
+engine-internal variant; this module is the SQL-expressible tier exposed
+to the driver's DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import char_count, line_count, word_count
+from ..kernels.lang import STOPWORDS
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """F4/A8 + token counting (whitespace words and BPE-ish tokens)."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        char_count(c).alias("n_chars"),
+        word_count(c).alias("n_words"),
+        line_count(c).alias("n_lines"),
+        F.regexp_count(c, F.lit(BPE_TOKEN_RE)).cast("long").alias("n_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword / alpha ratios → [0,1] score.
+    Deterministic linear blend (each ratio rounded before the blend so the
+    SQL oracle reproduces it bit-for-bit)."""
+    c = F.col(text_col)
+    n = char_count(c)
+    # raw (unrounded) ratios feed the blend — summing pre-rounded values
+    # lands exactly on 6dp rounding boundaries where engines disagree
+    alpha_raw = F.regexp_count(c, F.lit("[A-Za-z]")) / (n + 1e-9)
+    punct_raw = F.regexp_count(c, F.lit("[.,;:!?]")) / (word_count(c) + 1e-9)
+    stop_raw = F.regexp_count(
+        F.lower(c),
+        F.lit(r"\b(" + "|".join(sorted(STOPWORDS["en"])) + r")\b"),
+    ) / (word_count(c) + 1e-9)
+    len_score = F.least(F.lit(1.0), n / F.lit(500.0))
+    score = F.round(
+        0.25 * len_score + 0.25 * alpha_raw
+        + 0.25 * F.least(F.lit(1.0), stop_raw * 4)
+        + 0.25 * (1 - F.least(F.lit(1.0), punct_raw)), 6)
+    return df.select(
+        F.col(id_col),
+        F.round(alpha_raw, 6).alias("alpha_ratio"),
+        F.round(punct_raw, 6).alias("punct_ratio"),
+        F.round(stop_raw, 6).alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id_sql(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SQL-expressible stopword-profile language id (SPEC.md §5 marker
+    sets, ≥2-hit threshold, alphabetical tie-break) — the codegen'd twin
+    of kernels/lang.py for corpora where per-row Python is not worth it."""
+    lowered = F.lower(F.col(text_col))
+    hit_cols = {
+        lang: F.regexp_count(
+            lowered, F.lit(r"\b(" + "|".join(sorted(words)) + r")\b"))
+        for lang, words in sorted(STOPWORDS.items())
+    }
+    out = df.select(F.col(id_col), *[v.alias(f"hits_{k}") for k, v in hit_cols.items()])
+    best_hits = F.greatest(*[F.col(f"hits_{k}") for k in sorted(hit_cols)])
+    pred = F.lit("unknown")
+    # alphabetical priority: later (reverse-sorted) langs overwritten by earlier
+    for lang in sorted(hit_cols, reverse=True):
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best_hits) & (best_hits >= 2), lang
+        ).otherwise(pred)
+    return out.withColumn("lang_pred", pred).select(id_col, "lang_pred")
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprint (rolling-hash sketch): md5 of every
+    k-gram, min per sliding window of w positions, distinct. Summarized to
+    one row per doc (n fingerprints + lexicographic extremes)."""
+    c = F.col(text_col)
+    pos = F.when(
+        F.length(c) >= k, F.sequence(F.lit(1), F.length(c) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(id_col), F.explode(pos).alias("i"),
+        c.alias("_t"),
+    ).select(
+        id_col, "i", F.md5(F.expr(f"substring(_t, i, {k})")).alias("h")
+    )
+    win = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
+    fps = grams.select(
+        F.col(id_col), F.min("h").over(win).alias("fp")
+    ).distinct()
+    return fps.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )

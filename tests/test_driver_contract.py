@@ -1,0 +1,97 @@
+"""Replicates the driver's correctness gate locally (SURVEY §5.2 layer 5):
+for every ``queries()`` entry with an ``oracle_sql()`` twin, run the Spark
+query and the DuckDB SQL on the same parquet tables and compare row count
++ column names + order-insensitive canonical values."""
+
+from __future__ import annotations
+
+import datetime as dt
+import importlib.util
+import math
+import os
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("ATE_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+_spec = importlib.util.spec_from_file_location(
+    "spark_entry",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "__spark_entry__.py"),
+)
+spark_entry = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_spec and spark_entry)
+
+QUERIES = spark_entry.queries()
+ORACLES = spark_entry.oracle_sql()
+
+
+def _canon(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # queries round to ≥4dp; compare at 1e-9 granularity
+        return f"{v:.9g}"
+    if isinstance(v, (dt.datetime,)):
+        return v.replace(tzinfo=None).isoformat()
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    res = duck.execute(ORACLES[name])
+    dcols = [c[0] for c in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} (spark) vs {len(drows)} (duckdb)")
+    s_set = _rowset(scols, [[r[c] for c in scols] for r in srows])
+    d_set = _rowset(dcols, drows)
+    mism = [(a, b) for a, b in zip(s_set, d_set) if a != b]
+    assert not mism, f"{name}: {len(mism)} differing rows; first: {mism[0]}"
+
+
+def test_every_query_runs(spark):
+    """Queries without an oracle still must run and return a schema."""
+    for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
+        df = fn(spark, SF_DIR)
+        assert df.columns, name
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = spark_entry.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert {"conv_id", "turn_idx", "extracted_text"} <= set(df.columns)
