@@ -144,6 +144,10 @@ class _TreeBuilder(HTMLParser):
     def handle_endtag(self, tag):
         if tag in _VOIDS:
             return
+        if tag in _BLOCKS:
+            # a block END event is a flush boundary even when the tag was
+            # never opened (CDATA-swallowed or stray close) — SPEC.md §3
+            self.open[-1].kids.append(_Node("#flush"))
         for i in range(len(self.open) - 1, 0, -1):
             if self.open[i].tag == tag:
                 del self.open[i:]
@@ -197,14 +201,17 @@ def _html_blocks(raw: str):
                 if chrome:
                     cur["ch"] = True
                 continue
+            if kid.tag == "#flush":
+                flush()
+                continue
             if kid.exclude:
                 continue
-            is_block = kid.tag in _BLOCKS
-            if is_block:
+            # flush on the OPEN event only; the close event is the explicit
+            # '#flush' marker recorded by handle_endtag (an implicitly
+            # closed block never fires a close event — SPEC.md §3)
+            if kid.tag in _BLOCKS:
                 flush()
             walk(kid, chrome + kid.chrome, anchor + (kid.tag == "a"))
-            if is_block:
-                flush()
 
     walk(builder.root, 0, 0)
     flush()
