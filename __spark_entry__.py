@@ -37,15 +37,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism. The sandbox test tables
+    are single-row-group parquet files (one scan task); compute-heavy
+    operators (minhash/simhash/winnow/extraction) would otherwise run the
+    kernel single-threaded. On a production table with normal file-level
+    parallelism this repartition is dropped — the shuffle is only worth it
+    when kernel cost per row >> shuffle cost per row, which holds for every
+    operator that uses it here."""
+    sess = df.sparkSession
+    return df.repartition(sess.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # flagship entry: documents → synthetic transcripts → extraction pipeline
 # ---------------------------------------------------------------------------
 
-def synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_transcripts(spark: SparkSession, sf_dir: str,
+                      mult: int = 1) -> DataFrame:
     """Deterministic transcript table from ``documents`` (input_hint shape):
     70% plain payloads, 25% wrapped in an HTML page with boilerplate
     chrome, 5% a fixed base64 PDF (seeded fixture writer). All native
-    column ops — no data leaves the JVM to build the input."""
+    column ops — no data leaves the JVM to build the input. ``mult``
+    replicates the corpus (distinct doc_id per replica) for bench scale."""
     import base64
     import random
 
@@ -57,7 +71,11 @@ def synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
                   random.Random(42), flate=True)
     ).decode("ascii")
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    if mult > 1:
+        rep = spark.range(mult).select(F.col("id").alias("rep"))
+        docs = docs.crossJoin(F.broadcast(rep)).select(
+            (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"), "text")
     mod = F.pmod(F.col("doc_id"), F.lit(20))
     html_payload = F.concat(
         F.lit("<html><head><title>Doc</title><style>p{margin:0}</style></head>"
@@ -147,14 +165,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact_props"] = lambda s, d: D.exact_dup_groups(
         _t(s, d, "events"), "event_id", "props")
     q["minhash_signatures"] = lambda s, d: D.minhash_signatures(
-        D.word_shingles(_t(s, d, "documents"), "doc_id", "text"), "doc_id")
+        _spread(_t(s, d, "documents")), "doc_id", "text")
     q["lsh_candidate_pairs"] = lambda s, d: D.lsh_candidate_pairs(
-        D.minhash_signatures(
-            D.word_shingles(_t(s, d, "documents"), "doc_id", "text"), "doc_id"),
-        "doc_id")
+        _spread(_t(s, d, "documents")), "doc_id", "text")
     q["ngram_jaccard_pairs"] = lambda s, d: D.ngram_jaccard_pairs(
-        D.word_shingles(_t(s, d, "documents"), "doc_id", "text"), "doc_id", 0.1)
-    q["simhash32"] = lambda s, d: D.simhash32(_t(s, d, "documents"), "doc_id", "text")
+        D.word_shingles(_spread(_t(s, d, "documents")), "doc_id", "text"),
+        "doc_id", 0.1)
+    q["simhash32"] = lambda s, d: D.simhash32(
+        _spread(_t(s, d, "documents")), "doc_id", "text")
 
     # ---- similarity search ----
     def _query_vec(s: SparkSession, d: str) -> list[float]:
@@ -165,12 +183,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), _query_vec(s, d), k=10)
     q["ann_lsh_bucket_topk"] = lambda s, d: S.lsh_bucket_topk(
         _t(s, d, "embeddings"), _query_vec(s, d), k=10)
+    q["embedding_neardup_pairs"] = lambda s, d: S.embedding_neardup_pairs(
+        _t(s, d, "embeddings"), threshold=0.15)
+
+    # ---- multimodal (binary payload + typed metadata; deterministic
+    # fake codec — real codecs plug into the same registry) ----
+    from advanced_text_extraction_spark.multimodal import media as M
+
+    q["media_image_stats"] = lambda s, d: M.image_stats(
+        M.synth_media(s, 256, partitions=8)).select(
+        "media_id", "width", "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round("std_intensity", 6).alias("std_intensity"), "status")
+    q["media_audio_stats"] = lambda s, d: M.audio_stats(
+        M.synth_media(s, 256, partitions=8)).select(
+        "media_id", "sample_rate", "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"))
+    q["media_frame_stats"] = lambda s, d: M.frame_stats(
+        M.synth_media(s, 256, partitions=8), every=2).select(
+        "media_id", "frame_idx",
+        F.round("mean_intensity", 6).alias("mean_intensity"))
 
     # ---- text analysis ----
-    q["quality_score"] = lambda s, d: TS.quality_score(_t(s, d, "documents"), "doc_id", "text")
-    q["lang_id_sql"] = lambda s, d: TS.lang_id_sql(_t(s, d, "documents"), "doc_id", "text")
+    q["quality_score"] = lambda s, d: TS.quality_score(
+        _spread(_t(s, d, "documents")), "doc_id", "text")
+    q["lang_id_sql"] = lambda s, d: TS.lang_id_sql(
+        _spread(_t(s, d, "documents")), "doc_id", "text")
     q["winnow_fingerprints"] = lambda s, d: TS.winnow_fingerprints(
-        _t(s, d, "documents"), "doc_id", "text")
+        _spread(_t(s, d, "documents")), "doc_id", "text")
 
     # ---- extraction tier exposed to the oracle gate ----
     q["sniff_content_type"] = lambda s, d: _t(s, d, "documents").select(
@@ -252,7 +293,7 @@ def _extract_html_roundtrip(s: SparkSession, d: str) -> DataFrame:
         F.col("text"),
         F.lit("</p></article><footer>© corp</footer></body></html>"),
     )
-    wrapped = docs.select(
+    wrapped = _spread(docs).select(
         F.lit("c").alias("conv_id"),
         F.col("doc_id").cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
@@ -269,7 +310,7 @@ def _extract_html_roundtrip(s: SparkSession, d: str) -> DataFrame:
 def _normalize_text(s: SparkSession, d: str) -> DataFrame:
     """The normalization kernel (SPEC.md §2) over documents.text via the
     extraction operator's plain-text branch."""
-    docs = _t(s, d, "documents").select(
+    docs = _spread(_t(s, d, "documents")).select(
         F.lit("c").alias("conv_id"),
         F.col("doc_id").cast("int").alias("turn_idx"),
         F.lit("user").alias("role"), F.col("text"),
@@ -506,6 +547,73 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, bucket,
                round(dot / (sqrt(sa) * sqrt(sq) + 1e-12), 6) AS cos_sim
         FROM dots, qn ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+    _bucket8 = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(8))
+    o["embedding_neardup_pairs"] = f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, {_bucket8} AS bucket FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   a.embedding AS ea, b.embedding AS eb
+            FROM bucketed a JOIN bucketed b USING (bucket)
+            WHERE a.vec_id < b.vec_id),
+        dots AS (
+            SELECT id_a, id_b, sum(va * vb) AS dot,
+                   sum(va * va) AS na, sum(vb * vb) AS nb
+            FROM (SELECT id_a, id_b,
+                         CAST(unnest(ea) AS DOUBLE) AS va,
+                         CAST(unnest(eb) AS DOUBLE) AS vb
+                  FROM pairs)
+            GROUP BY id_a, id_b)
+        SELECT id_a, id_b,
+               round(dot / (sqrt(na) * sqrt(nb) + 1e-12), 6) AS cos_sim
+        FROM dots
+        WHERE round(dot / (sqrt(na) * sqrt(nb) + 1e-12), 6) >= 0.15"""
+
+    # multimodal: the fake codec's pixels/samples are pure arithmetic in
+    # (media_id, position), so the oracle recomputes them from formula —
+    # a value-level check that the binary plumbing decodes what was encoded
+    o["media_image_stats"] = """
+        WITH ids AS (SELECT CAST(i AS BIGINT) AS i
+                     FROM generate_series(0, 255) t(i) WHERE i % 3 = 0),
+        dims AS (SELECT i, 16 + (i % 8) * 4 AS w, 12 + (i % 5) * 4 AS h
+                 FROM ids),
+        px AS (SELECT i, w, h, CAST((j * (i + 7)) % 251 AS DOUBLE) AS v
+               FROM dims, UNNEST(generate_series(0, w * h - 1)) s(j)),
+        m AS (SELECT i, w, h, avg(v) AS m1, avg(v * v) AS m2
+              FROM px GROUP BY i, w, h)
+        SELECT i AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               round(m1, 6) AS mean_intensity,
+               round(sqrt(greatest(m2 - m1 * m1, 0)), 6) AS std_intensity,
+               'ok' AS status
+        FROM m"""
+
+    o["media_audio_stats"] = """
+        WITH ids AS (SELECT CAST(i AS BIGINT) AS i
+                     FROM generate_series(0, 255) t(i) WHERE i % 3 = 1),
+        dims AS (SELECT i, 8000 AS sr, 400 + (i % 11) * 40 AS ns FROM ids),
+        pcm AS (SELECT i, sr, ns,
+                       CAST(((j * (i + 3)) % 255) - 127 AS DOUBLE) AS v
+                FROM dims, UNNEST(generate_series(0, ns - 1)) s(j))
+        SELECT i AS media_id, CAST(sr AS INT) AS sample_rate,
+               CAST(ns AS INT) AS n_samples,
+               round(CAST(ns AS DOUBLE) / sr, 6) AS duration_sec,
+               round(sqrt(avg(v * v)), 6) AS rms
+        FROM pcm GROUP BY i, sr, ns"""
+
+    o["media_frame_stats"] = """
+        WITH ids AS (SELECT CAST(i AS BIGINT) AS i
+                     FROM generate_series(0, 255) t(i) WHERE i % 3 = 2),
+        fr AS (SELECT i, f FROM ids,
+               UNNEST(generate_series(0, 4 + i % 5 - 1)) t(f)
+               WHERE f % 2 = 0),
+        px AS (SELECT i, f, CAST((j * (i + f + 1)) % 249 AS DOUBLE) AS v
+               FROM fr, UNNEST(generate_series(0, 191)) s(j))
+        SELECT i AS media_id, CAST(f AS INT) AS frame_idx,
+               round(avg(v), 6) AS mean_intensity
+        FROM px GROUP BY i, f"""
 
     en = sorted(STOPWORDS["en"])
     o["quality_score"] = f"""

@@ -49,47 +49,70 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def minhash_signatures(shingles: DataFrame, id_col: str,
-                       n_perms: int = 12) -> DataFrame:
-    """MinHash: perm p's hash of shingle s = md5('<p>:'||s); signature =
-    min per (doc, p). Output rows (id, perm, minhash)."""
-    perms = F.sequence(F.lit(0), F.lit(n_perms - 1))
-    hashed = shingles.select(
-        id_col,
-        F.explode(perms).alias("perm"),
-        F.col("shingle"),
-    ).withColumn(
-        "h", F.md5(F.concat_ws(":", F.col("perm"), F.col("shingle")))
+def _shingle_array(text_col, k: int = 3):
+    """Per-row array of k-word shingles (same set word_shingles explodes)."""
+    words = F.split(F.trim(text_col), r"\s+")
+    idx = F.when(
+        F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+
+
+def minhash_signature_array(df: DataFrame, id_col: str, text_col: str,
+                            n_perms: int = 12, k: int = 3) -> DataFrame:
+    """MinHash signature as ONE narrow projection — no explode, no shuffle.
+
+    perm p's hash of shingle s = md5('<p>:'||s); sig[p] = min over the
+    doc's shingles. min over the multiset equals min over the distinct
+    set, so no dedup pass is needed. At 10^12 docs this is the shape that
+    matters: signature building is embarrassingly parallel map work; only
+    the LSH bucket join below ever shuffles."""
+    sh = _shingle_array(F.col(text_col), k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_perms - 1)),
+        lambda p: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat_ws(":", p, s)))),
     )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n_perms: int = 12) -> DataFrame:
+    """Row view (id, perm, minhash) of the narrow signature array (the
+    driver-oracle-comparable shape). Docs with no shingles emit no rows
+    (array_min of an empty set is null → filtered), matching the
+    explode-based formulation."""
+    arr = minhash_signature_array(df, id_col, text_col, n_perms)
     return (
-        hashed.groupBy(id_col, "perm")
-        .agg(F.min("h").alias("minhash"))
+        arr.select(id_col, F.posexplode("sig").alias("perm", "minhash"))
+        .filter(F.col("minhash").isNotNull())
         .withColumn("perm", F.col("perm").cast("long"))
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
-                        rows_per_band: int = 3) -> DataFrame:
-    """Band the signature (LSH): band key = md5 of the band's minhashes in
-    perm order; docs sharing any band key become candidate pairs.
-    The self-join is per band-bucket — at corpus scale buckets are tiny,
-    so the shuffle is the only O(n) cost."""
-    banded = signatures.withColumn(
-        "band", (F.col("perm") / rows_per_band).cast("int")
+def lsh_band_keys(df: DataFrame, id_col: str, text_col: str,
+                  n_perms: int = 12, rows_per_band: int = 3) -> DataFrame:
+    """(id, band, band_key) rows; band key = md5 of the band's minhashes
+    in perm order — computed narrow from the signature array."""
+    n_bands = n_perms // rows_per_band
+    arr = minhash_signature_array(df, id_col, text_col, n_perms)
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.md5(F.concat_ws(
+            ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))),
     )
-    keys = banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("perm", "minhash"))
-                    ),
-                    lambda s: s["minhash"],
-                ),
-            )
-        ).alias("band_key")
+    return (
+        arr.filter(F.element_at("sig", 1).isNotNull())
+        .select(id_col, F.posexplode(bands).alias("band", "band_key"))
     )
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n_perms: int = 12, rows_per_band: int = 3) -> DataFrame:
+    """LSH near-dup candidates: docs sharing any band key. The bucket
+    self-join is the ONLY shuffle in the whole minhash→LSH chain; at
+    corpus scale buckets are tiny, so the shuffle is the only O(n) cost."""
+    keys = lsh_band_keys(df, id_col, text_col, n_perms, rows_per_band)
     a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -129,33 +152,33 @@ def ngram_jaccard_pairs(shingles: DataFrame, id_col: str,
 
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash over word occurrences. Per token, bit j comes from
-    md5 nibble j//4 (bit j%4); doc bit j = sign of Σ(±1). Pure column
-    algebra; portable to the SQL oracle via strpos-based nibble decode."""
+    md5 nibble j//4 (bit j%4); doc bit j = sign of Σ(±1).
+
+    Computed as ONE narrow projection per row (token array → md5 array →
+    32 per-bit reductions) — no explode, no shuffle. The previous
+    formulation exploded to |tokens|×32 rows and shuffled twice; at
+    10^12 docs that shuffle dominates, while this shape is pure map work
+    that scales with the scan."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+")
-    toks = df.select(
-        id_col, F.explode(words).alias("tok")
-    ).filter(F.col("tok") != "")
-    bits = toks.select(
-        id_col,
-        F.md5("tok").alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
-    )
-    # nibble j//4 of the md5 hex, bit j%4 → ±1 contribution
-    # (SQL expr: the Python wrappers for instr/shiftright take literals only)
-    contrib = F.expr(
-        "(shiftright(instr('0123456789abcdef',"
-        " substring(h, cast(j / 4 as int) + 1, 1)) - 1, j % 4) & 1) * 2 - 1"
-    )
-    return (
-        bits.withColumn("c", contrib)
-        .groupBy(id_col, "j")
-        .agg(F.sum("c").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0,
-                       F.expr("shiftleft(cast(1 as bigint), j)"))
-                .otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-    )
+    hashes = F.transform(
+        F.filter(words, lambda t: t != ""), lambda t: F.md5(t))
+    # materialize the md5 array once per row; the 32 per-bit reductions
+    # below all re-read this column instead of re-hashing the tokens
+    hashed = df.select(F.col(id_col), hashes.alias("_hs"))
+
+    # nibble value via conv(hex digit) — equals the oracle's
+    # strpos('0123456789abcdef', digit) - 1 on lowercase md5 hex
+    def _bit_merge(nib: int, bit: int):
+        def merge(acc, h):
+            return acc + (
+                F.conv(F.substring(h, nib + 1, 1), 16, 10).cast("int")
+                .bitwiseAND(F.lit(1 << bit)) / F.lit(1 << bit)
+            ).cast("int") * 2 - 1
+        return merge
+
+    simhash = F.lit(0).cast("long")
+    for j in range(32):
+        s_j = F.aggregate(F.col("_hs"), F.lit(0), _bit_merge(j // 4, j % 4))
+        simhash = simhash + F.when(
+            s_j > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return hashed.select(id_col, simhash.alias("simhash"))

@@ -68,6 +68,33 @@ def sign_bucket(vec_col: str = "embedding", n_bits: int = 8):
     return bucket
 
 
+def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            n_bits: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    Candidate pairs come from a self-join on the sign-LSH bucket (the
+    blocking key — at 10^9 vectors the join shuffles bucket-sized groups,
+    never all-pairs), then exact cosine filters to ≥ threshold. Sign-LSH
+    preserves high-cosine neighbors with high probability; for recall
+    beyond one bucket, union several rotated bucket functions."""
+    bucketed = df.withColumn("bucket", sign_bucket(vec_col, n_bits))
+    a = bucketed.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vb"), "bucket")
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        (_norm(F.col("va")) * _norm(F.col("vb"))) + F.lit(_EPS))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_bits: int = 8) -> DataFrame:

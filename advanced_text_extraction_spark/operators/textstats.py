@@ -11,7 +11,7 @@ to the driver's DuckDB oracle gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import char_count, line_count, word_count
@@ -85,24 +85,29 @@ def lang_id_sql(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
                         k: int = 8, w: int = 4) -> DataFrame:
     """Winnowing document fingerprint (rolling-hash sketch): md5 of every
-    k-gram, min per sliding window of w positions, distinct. Summarized to
-    one row per doc (n fingerprints + lexicographic extremes)."""
+    k-gram, min per sliding window of w positions (truncated at the tail),
+    distinct. Summarized to one row per doc.
+
+    Computed as narrow per-row array algebra — a document's fingerprint
+    never needs other documents, so the explode+window formulation (which
+    shuffles every k-gram twice at corpus scale) is replaced by
+    transform/slice over in-row arrays: pure map work, zero shuffles."""
     c = F.col(text_col)
-    pos = F.when(
-        F.length(c) >= k, F.sequence(F.lit(1), F.length(c) - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = df.select(
-        F.col(id_col), F.explode(pos).alias("i"),
-        c.alias("_t"),
-    ).select(
-        id_col, "i", F.md5(F.expr(f"substring(_t, i, {k})")).alias("h")
+    grams = df.filter(F.length(c) >= k).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (k - 1)),
+            lambda i: F.md5(c.substr(i, F.lit(k))),
+        ).alias("_g"),
     )
-    win = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
-    fps = grams.select(
-        F.col(id_col), F.min("h").over(win).alias("fp")
-    ).distinct()
-    return fps.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_fp"),
-        F.min("fp").alias("min_fp"),
-        F.max("fp").alias("max_fp"),
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("_g")),
+        lambda i: F.array_min(F.slice("_g", i, w)),
+    )
+    fps = grams.select(F.col(id_col), F.array_distinct(wins).alias("_fp"))
+    return fps.select(
+        id_col,
+        F.size("_fp").cast("long").alias("n_fp"),
+        F.array_min("_fp").alias("min_fp"),
+        F.array_max("_fp").alias("max_fp"),
     )

@@ -42,6 +42,8 @@ def build_session(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # local mode: no data locality to wait for — schedule immediately
+        .config("spark.locality.wait", "0s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -26,6 +26,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--salt", type=int, default=4)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--warmup", action="store_true",
+                    help="start the Python UDF workers before the measured "
+                         "job (steady-state benchmarking)")
     args = ap.parse_args(argv)
 
     from advanced_text_extraction_spark.plans.pipeline import run_extract_job
@@ -34,6 +37,11 @@ def main(argv: list[str] | None = None) -> int:
     spark = build_session(app_name="ate-extract", master=args.master)
     try:
         df = spark.read.parquet(args.input)
+        if args.warmup:
+            from advanced_text_extraction_spark.operators.extract import extract
+            n = spark.sparkContext.defaultParallelism
+            (extract(df.limit(64 * n).repartition(n))
+             .write.format("noop").mode("overwrite").save())
         stats = run_extract_job(
             spark, df, args.output,
             n_buckets=args.n_buckets, salt=args.salt,
