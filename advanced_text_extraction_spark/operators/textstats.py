@@ -88,26 +88,39 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     k-gram, min per sliding window of w positions (truncated at the tail),
     distinct. Summarized to one row per doc.
 
-    Computed as narrow per-row array algebra — a document's fingerprint
-    never needs other documents, so the explode+window formulation (which
-    shuffles every k-gram twice at corpus scale) is replaced by
-    transform/slice over in-row arrays: pure map work, zero shuffles."""
-    c = F.col(text_col)
-    grams = df.filter(F.length(c) >= k).select(
-        F.col(id_col),
-        F.transform(
-            F.sequence(F.lit(1), F.length(c) - (k - 1)),
-            lambda i: F.md5(c.substr(i, F.lit(k))),
-        ).alias("_g"),
-    )
-    wins = F.transform(
-        F.sequence(F.lit(1), F.size("_g")),
-        lambda i: F.array_min(F.slice("_g", i, w)),
-    )
-    fps = grams.select(F.col(id_col), F.array_distinct(wins).alias("_fp"))
-    return fps.select(
-        id_col,
-        F.size("_fp").cast("long").alias("n_fp"),
-        F.array_min("_fp").alias("min_fp"),
-        F.array_max("_fp").alias("max_fp"),
-    )
+    A document's fingerprint never needs other documents, so this is one
+    Arrow-batched mapInPandas pass — pure map work, zero shuffles (the
+    explode+window formulation shuffles every k-gram twice at corpus
+    scale; higher-order-function column algebra is interpreted per
+    element — both lose badly). hashlib.md5 matches Spark/DuckDB md5, so
+    the oracle gate holds; docs shorter than k emit no row."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("n_fp", T.LongType(), False),
+        T.StructField("min_fp", T.StringType(), False),
+        T.StructField("max_fp", T.StringType(), False),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, ns, mins, maxs = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                t = t or ""
+                if len(t) < k:
+                    continue
+                grams = [hashlib.md5(t[j:j + k].encode()).hexdigest()
+                         for j in range(len(t) - k + 1)]
+                fps = {min(grams[j:j + w]) for j in range(len(grams))}
+                ids.append(i)
+                ns.append(len(fps))
+                mins.append(min(fps))
+                maxs.append(max(fps))
+            yield pd.DataFrame({id_col: ids, "n_fp": ns,
+                                "min_fp": mins, "max_fp": maxs})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
