@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Dump physical plans of the flagship job + headline queries → PLANS.md.
+
+The plan audit is part of the performance workflow: after a query is
+correct, its `.explain("formatted")` output is reviewed for pushed
+filters / pruned schemas, broadcast vs sort-merge joins, WholeStageCodegen
+coverage, and unexpected exchanges. This script regenerates the evidence
+file so every change to an operator can be diffed at the plan level.
+
+    python scripts/explain_plans.py [--sf-dir /root/testdata/sf0.001]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# queries whose plans carry the interesting decisions
+AUDIT = [
+    ("tpch_q1", "wide scan + partial/final hash aggregate; pushed filter"),
+    ("revenue_by_nation",
+     "star join: dims broadcast, single big-table shuffle"),
+    ("top_customers", "broadcast join + TakeOrdered (no global sort)"),
+    ("latest_per_user", "window latest-per-key, single hash exchange"),
+    ("minhash_signatures", "Arrow mapInPandas sketch — map-only, no shuffle"),
+    ("lsh_candidate_pairs",
+     "sketch kernel → the ONLY shuffle is the band-bucket self-join"),
+    ("cosine_topk", "narrow dot-product map + TakeOrdered"),
+    ("summary_stats", "scalar agg: partial+final, no data shuffle"),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default=os.path.join(REPO, "PLANS.md"))
+    args = ap.parse_args()
+
+    import __spark_entry__ as em
+    from advanced_text_extraction_spark.operators.extract import extract
+    from advanced_text_extraction_spark.plans.pipeline import (
+        prepare, salted_repartition,
+    )
+    from advanced_text_extraction_spark.operators.windows import restore_order
+    from advanced_text_extraction_spark.sources.session import build_session
+
+    spark = build_session(app_name="explain", master="local[2]",
+                          shuffle_partitions=8)
+    qs = em.queries()
+
+    def formatted(df) -> str:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue().rstrip()
+
+    sections = [
+        "# PLANS.md — physical-plan audit (auto-generated)",
+        "",
+        f"`python scripts/explain_plans.py --sf-dir {args.sf_dir}`; regenerate"
+        " after operator changes and diff. What to check per plan: pushed"
+        " filters + pruned ReadSchema on scans, BroadcastHashJoin for dim"
+        " tables, WholeStageCodegen spans around native expressions, and no"
+        " exchange that the operator's contract does not require.",
+        "",
+        "## flagship extraction job (plans/pipeline.py)",
+        "",
+        "Expected shape: scan → hash-agg dedupe → single salted Exchange →"
+        " ArrowEvalPython/MapInPandas → per-partition sort → write. The"
+        " only data shuffle is the salted repartition (+ the dedupe's"
+        " aggregate exchange); order restore is sortWithinPartitions, NOT a"
+        " global sort.",
+        "",
+    ]
+
+    tr = em.synth_transcripts(spark, args.sf_dir)
+    flagship = restore_order(
+        extract(salted_repartition(prepare(tr, 8), 8, 2)))
+    sections += ["```", formatted(flagship), "```", ""]
+
+    for name, why in AUDIT:
+        sections += [f"## {name}", "", why, "", "```",
+                     formatted(qs[name](spark, args.sf_dir)), "```", ""]
+
+    with open(args.out, "w") as f:
+        f.write("\n".join(sections) + "\n")
+    print(f"wrote {args.out}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
