@@ -113,29 +113,58 @@ def extract_one(payload: str | None) -> dict:
     }
 
 
-def _extract_batches(batches):
-    """mapInPandas kernel: iterator[pd.DataFrame] → iterator[pd.DataFrame]."""
-    for pdf in batches:
-        t0 = time.perf_counter_ns()
-        recs = [extract_one(p) for p in pdf["text"]]
-        per_row_us = (time.perf_counter_ns() - t0) // 1000 // max(len(recs), 1)
-        out = pdf.copy()
-        for col in ("content_type", "extracted_text", "spans", "confidence",
-                    "language", "status", "error", "metadata",
-                    "extractor_version"):
-            out[col] = [r[col] for r in recs]
-        out["proc_us"] = per_row_us
-        yield out
+def _make_kernel(dedupe_keys: tuple[str, ...] | None):
+    """Build the mapInPandas kernel, optionally deduplicating on
+    ``dedupe_keys`` WITHIN the partition (first copy wins).
+
+    Partition-local dedupe is exact when the upstream exchange co-locates
+    key copies — the salted repartition hashes on (bucket(conv_id),
+    salt(turn_idx)), so every copy of a (conv_id, turn_idx) key lands in
+    the same partition by construction. Folding U1 (reference
+    /root/reference/cli.py:430) into the extraction pass removes the
+    dropDuplicates aggregate and its exchange: the whole job keeps ONE
+    data shuffle. The seen-set holds only this partition's keys
+    (|partition| tuples — bounded by the salted layout, not the corpus)."""
+
+    def _extract_batches(batches):
+        seen: set | None = set() if dedupe_keys else None
+        for pdf in batches:
+            if dedupe_keys:
+                mask = []
+                for key in zip(*(pdf[k] for k in dedupe_keys)):
+                    if key in seen:
+                        mask.append(False)
+                    else:
+                        seen.add(key)
+                        mask.append(True)
+                pdf = pdf[mask]
+                if pdf.empty:
+                    continue
+            t0 = time.perf_counter_ns()
+            recs = [extract_one(p) for p in pdf["text"]]
+            per_row_us = (time.perf_counter_ns() - t0) // 1000 // max(len(recs), 1)
+            out = pdf.copy()
+            for col in ("content_type", "extracted_text", "spans",
+                        "confidence", "language", "status", "error",
+                        "metadata", "extractor_version"):
+                out[col] = [r[col] for r in recs]
+            out["proc_us"] = per_row_us
+            yield out
+
+    return _extract_batches
 
 
-def extract(df: DataFrame) -> DataFrame:
+def extract(df: DataFrame,
+            dedupe_keys: tuple[str, ...] | None = None) -> DataFrame:
     """Apply the extraction dispatch over a transcripts DataFrame.
 
     The payload column must be named ``text``. All input columns are
     carried through; SPEC.md §6 columns are appended. Partitioning is the
     caller's concern (see ``plans/pipeline.py`` for the salted layout).
-    """
-    return df.mapInPandas(_extract_batches, schema=output_schema(df.schema))
+    ``dedupe_keys`` enables partition-local dedupe (see _make_kernel —
+    only exact when copies are co-located by the upstream exchange)."""
+    return df.mapInPandas(_make_kernel(dedupe_keys),
+                          schema=output_schema(df.schema))
 
 
 def with_confidence_filter(df: DataFrame, threshold: float) -> DataFrame:

@@ -1,11 +1,14 @@
 """The flagship extraction job (SURVEY.md §4.3 physical plan).
 
     scan(transcripts)                         [column-pruned parquet scan]
-      → dropDuplicates(conv_id, turn_idx)     [U1, reference cli.py:430]
       → part_bucket = pmod(xxhash64(conv_id), n_buckets)
       → resume skip of completed buckets      [J1 — lineage probe]
-      → Exchange(hash: part_bucket, salt)     [C4 — skew break]
-      → mapInPandas(extract dispatch)         [Arrow-vectorized kernels]
+      → Exchange(hash: part_bucket, salt)     [C4 — skew break; co-locates
+                                               (conv_id, turn_idx) copies]
+      → mapInPandas(dedupe + extract)         [U1 folded into the kernel —
+                                               partition-local seen-set,
+                                               exact because copies are
+                                               co-located; Arrow-vectorized]
       → sortWithinPartitions(conv_id, turn)   [W3 — stable order, no global sort]
       → overwrite extracted/ per bucket + append lineage/
 
@@ -50,8 +53,13 @@ class RunStats:
 
 
 def prepare(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
-    """Dedupe + deterministic bucket assignment (U1 + partition scheme)."""
-    return df.dropDuplicates(["conv_id", "turn_idx"]).withColumn(
+    """Deterministic bucket assignment (partition scheme).
+
+    U1 dedupe is NOT a separate pass: the salted repartition co-locates
+    all copies of a (conv_id, turn_idx) key, so the extraction kernel
+    drops duplicates partition-locally (extract(dedupe_keys=...)) —
+    saving the dropDuplicates aggregate and its exchange."""
+    return df.withColumn(
         "part_bucket",
         F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"),
     )
@@ -99,7 +107,12 @@ def run_extract_job(
         df = df.filter(F.col("part_bucket").isin(only_buckets))
 
     df = salted_repartition(df, n_buckets, salt)
-    extracted = extract(df).sortWithinPartitions("conv_id", "turn_idx")
+    # the sort leads with part_bucket so FileFormatWriter's required
+    # ordering (partition columns first) is already satisfied — otherwise
+    # the writer inserts its own part_bucket-only sort, which is not
+    # stable and would scramble the (conv_id, turn_idx) order
+    extracted = extract(df, dedupe_keys=("conv_id", "turn_idx")) \
+        .sortWithinPartitions("part_bucket", "conv_id", "turn_idx")
     catalog.write_extracted(extracted, out_root)
 
     # Lineage derives from what is durably on disk (read-back of the

@@ -26,6 +26,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--salt", type=int, default=4)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="spark.sql.shuffle.partitions; size to the DATA "
+                         "(2-3x total cores at the data's scale), not the "
+                         "cluster — oversized tasks sort/spill superlinearly")
     ap.add_argument("--warmup", action="store_true",
                     help="start the Python UDF workers before the measured "
                          "job (steady-state benchmarking)")
@@ -34,7 +38,8 @@ def main(argv: list[str] | None = None) -> int:
     from advanced_text_extraction_spark.plans.pipeline import run_extract_job
     from advanced_text_extraction_spark.sources.session import build_session
 
-    spark = build_session(app_name="ate-extract", master=args.master)
+    spark = build_session(app_name="ate-extract", master=args.master,
+                          shuffle_partitions=args.shuffle_partitions)
     try:
         df = spark.read.parquet(args.input)
         if args.warmup:
