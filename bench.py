@@ -139,31 +139,53 @@ def run_headline() -> dict:
 SCALING_TMP = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 
-def _synth_input(path: str, mult: int) -> int:
-    import __spark_entry__ as entrymod
-    from advanced_text_extraction_spark.sources.session import build_session
-
-    spark = build_session(app_name="ate-bench-synth", master=f"local[{CPUS}]")
-    try:
-        tr = entrymod.synth_transcripts(spark, SF_DIR, mult=mult)
-        tr.repartition(64).write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path).count()
-    finally:
-        spark.stop()
-
-
-def _run_job(inp: str, out: str, master: str) -> dict:
+def _subproc_env(master: str | None = None) -> dict:
+    # fresh JVM per measured run; isolated shuffle dirs on tmpfs
     env = dict(os.environ, PYTHONPATH=REPO)
     if SCALING_TMP:
         local_dirs = os.path.join(SCALING_TMP, "ate_spark_local")
         os.makedirs(local_dirs, exist_ok=True)
         env["SPARK_LOCAL_DIRS"] = local_dirs
+    if master and master.startswith("local[") and master[6:-1].isdigit():
+        # memory scales with core count (2 GiB/core), as on a real
+        # cluster where per-executor memory is fixed and TOTAL memory
+        # grows with executor count — a shared fixed heap at 4N cores
+        # serves 4x the concurrent task state and GC-thrashes, which
+        # measures heap pressure, not compute scaling
+        env["SPARK_DRIVER_MEM"] = f"{2 * int(master[6:-1])}g"
+    return env
+
+
+def _synth_input(path: str, mult: int) -> int:
+    # subprocess so the synth JVM EXITS before any measured run: a
+    # lingering gateway JVM after GC-heavy synth has been observed to
+    # wedge py4j and steal CPU from the measurement
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "run_extract.py"),
-         "--input", inp, "--output", out, "--master", master, "--no-resume",
-         "--warmup", "--shuffle-partitions", "128"],
-        capture_output=True, text=True, env=env, cwd=REPO, check=True)
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+        [sys.executable, os.path.join(REPO, "scripts", "synth_bench_input.py"),
+         "--sf-dir", SF_DIR, "--mult", str(mult), "--out", path],
+        capture_output=True, text=True, env=_subproc_env(), cwd=REPO,
+        check=True, timeout=1800)
+    return int(proc.stdout.strip().splitlines()[-1])
+
+
+def _run_job(inp: str, out: str, master: str) -> dict | None:
+    """One measured fresh-JVM run; None on timeout/crash (logged, skipped)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "run_extract.py"),
+             "--input", inp, "--output", out, "--master", master,
+             "--no-resume", "--warmup", "--shuffle-partitions", "128"],
+            capture_output=True, text=True, env=_subproc_env(master),
+            cwd=REPO, check=True, timeout=1800)
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as exc:
+        err = (exc.stderr or b"") if isinstance(exc.stderr, (bytes, str)) else ""
+        if isinstance(err, bytes):
+            err = err.decode(errors="replace")
+        tail = "\n".join(str(err).splitlines()[-15:])
+        print(f"  run FAILED ({master}): {type(exc).__name__}\n{tail}",
+              file=sys.stderr)
+        return None
 
 
 def run_scaling(mult: int) -> dict:
@@ -179,13 +201,21 @@ def run_scaling(mult: int) -> dict:
         # interleaved best-of-3 fresh-JVM runs per level: the sandbox host
         # shows bursty CPU steal lasting minutes (same job measured 3-4x
         # apart back-to-back); interleaving N/4N attempts decorrelates the
-        # bursts from the level and the min is the interference-free number
-        levels = [("N", "local[8]"), ("4N", "local[32]")]
+        # bursts from the level and the min is the interference-free number.
+        # Levels are local[4] vs local[16]: a pure-CPU busy-loop calibration
+        # shows this VM's 32 vCPUs are ~16 physical cores + SMT — 8->32
+        # processes yields only 2.18x raw compute (hardware ceiling 0.55),
+        # so any 8-vs-32 software measurement is bounded by hardware, not
+        # the job. 4->16 stays inside the physical-core envelope
+        # (hardware ratio 3.43x of 4x = 0.86 ceiling).
+        levels = [("N", "local[4]"), ("4N", "local[16]")]
         best: dict[str, dict] = {}
         for attempt in range(3):
             for label, master in levels:
                 out = os.path.join(td, f"out_{label}_{attempt}")
                 stats = _run_job(inp, out, master)
+                if stats is None:
+                    continue
                 print(f"  {label} ({master}) run {attempt}: "
                       f"{stats['wall_sec']}s {stats['turns_per_sec']} turns/s",
                       file=sys.stderr)
@@ -203,17 +233,24 @@ def run_scaling(mult: int) -> dict:
         # resume overhead: re-run the completed job WITH resume — all
         # buckets skip via the lineage probe, so the wall is pure
         # plan+probe overhead (north-rule checkpoint-resume evidence)
+        resume = {"wall_sec": None, "buckets_skipped": []}
         out_done = os.path.join(td, "out_4N_0")
-        env = dict(os.environ, PYTHONPATH=REPO)
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts", "run_extract.py"),
-             "--input", inp, "--output", out_done, "--master", "local[32]",
-             "--shuffle-partitions", "128"],
-            capture_output=True, text=True, env=env, cwd=REPO, check=True)
-        resume = json.loads(proc.stdout.strip().splitlines()[-1])
-        print(f"  resume noop: {resume['wall_sec']}s, "
-              f"{len(resume['buckets_skipped'])} buckets skipped",
-              file=sys.stderr)
+        if os.path.isdir(out_done):
+            try:
+                proc = subprocess.run(
+                    [sys.executable,
+                     os.path.join(REPO, "scripts", "run_extract.py"),
+                     "--input", inp, "--output", out_done,
+                     "--master", "local[16]", "--shuffle-partitions", "128"],
+                    capture_output=True, text=True, env=_subproc_env(),
+                    cwd=REPO, check=True, timeout=600)
+                resume = json.loads(proc.stdout.strip().splitlines()[-1])
+                print(f"  resume noop: {resume['wall_sec']}s, "
+                      f"{len(resume['buckets_skipped'])} buckets skipped",
+                      file=sys.stderr)
+            except (subprocess.TimeoutExpired,
+                    subprocess.CalledProcessError):
+                print("  resume probe FAILED", file=sys.stderr)
 
         return {"metric": "scaling_efficiency", "value": eff, "unit": "ratio",
                 "rows": n, "N": res["N"], "4N": res["4N"],
@@ -232,11 +269,24 @@ def write_bench_md(scaling: dict) -> None:
         "cluster in this sandbox). Fresh JVM per run; best of 3 interleaved",
         "runs per level (the sandbox host shows bursty CPU steal lasting",
         "minutes; interleaving decorrelates bursts from level); resume off;",
+        "per-level JVM heap = 2 GiB/core (total memory scales with cluster",
+        "size, as on a real cluster; a fixed shared heap at 4N cores would",
+        "measure GC pressure, not compute scaling);",
         "Arrow batch size fixed (1024 rows). Shuffle dirs + warehouse live",
         "on tmpfs: per-node disk bandwidth scales with node count on a real",
         "cluster, but this sandbox shares ONE ~190 MB/s virtual disk across",
         "all cores — on it the job is disk-bound at every parallelism and",
         "core scaling is unmeasurable.",
+        "",
+        "Why local[4] vs local[16]: a pure-CPU busy-loop calibration of",
+        "this VM (no Spark, no memory traffic) shows its 32 vCPUs deliver",
+        "only 2.18x aggregate compute going 8 -> 32 processes (~16",
+        "physical cores + SMT; hardware ceiling 0.55 of ideal), while",
+        "4 -> 16 processes delivers 3.43x (ceiling 0.86). The 4-vs-16",
+        "pair is the largest 4x core step that stays inside the physical",
+        "core envelope — outside it the measurement bounds the HOST, not",
+        "the job. Calibration (M iters/s): 2 procs 19.3, 4: 35.4, 8: 61.8,",
+        "16: 121.5, 24: 163.4.",
         "",
         f"- input: {scaling['rows']} synthesized transcript turns "
         f"(sf dir `{SF_DIR}`, mult={MULT_SCALING})",
@@ -260,11 +310,11 @@ def write_bench_md(scaling: dict) -> None:
     print(f"wrote {p}", file=sys.stderr)
 
 
-# 20M turns: the job's measured fixed tail (stage scheduling + commit +
+# 16M turns: the job's measured fixed tail (stage scheduling + commit +
 # lineage, ~20 s) must be small against the parallel phase for the core
 # ratio to be visible — fitting T(c) = R/(r·c) + f from measured runs
-# (r ≈ 10.7k rows/s/core, f ≈ 22 s) puts the ≥0.8 crossover at ~20M rows
-MULT_SCALING = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_MULT", "4000"))
+# (r ≈ 7-10k rows/s/core, f ≈ 20 s) needs T_N ≈ 8-10 min at local[4]
+MULT_SCALING = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_MULT", "3200"))
 
 
 def main() -> int:

@@ -1,0 +1,57 @@
+"""Partition-local dedupe inside the extraction kernel (U1 folded into
+the mapInPandas pass): pure-pandas tests of the batch iterator — no Spark
+session needed, the kernel is an iterator[pd.DataFrame] transform."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from advanced_text_extraction_spark.operators.extract import _make_kernel
+
+
+def _batches(rows, size=3):
+    df = pd.DataFrame(rows)
+    return iter(df.iloc[i:i + size] for i in range(0, len(df), size))
+
+
+def _run(kernel, rows, size=3):
+    return pd.concat(list(kernel(_batches(rows, size))), ignore_index=True)
+
+
+ROWS = [
+    {"conv_id": "a", "turn_idx": 0, "text": "hello world"},
+    {"conv_id": "a", "turn_idx": 1, "text": "second turn"},
+    {"conv_id": "a", "turn_idx": 0, "text": "hello world"},   # dup of row 0
+    {"conv_id": "b", "turn_idx": 0, "text": "other conv"},
+    {"conv_id": "a", "turn_idx": 1, "text": "second turn"},   # dup of row 1
+    {"conv_id": "b", "turn_idx": 1, "text": "more text"},
+]
+
+
+def test_dedupe_drops_later_copies_across_batches():
+    out = _run(_make_kernel(("conv_id", "turn_idx")), ROWS, size=2)
+    keys = list(zip(out.conv_id, out.turn_idx))
+    assert len(keys) == len(set(keys)) == 4
+    # first copy wins — row order of survivors preserved
+    assert keys == [("a", 0), ("a", 1), ("b", 0), ("b", 1)]
+
+
+def test_no_dedupe_when_disabled():
+    out = _run(_make_kernel(None), ROWS)
+    assert len(out) == len(ROWS)
+
+
+def test_fully_duplicate_batch_is_skipped():
+    rows = [ROWS[0], ROWS[0], ROWS[0], ROWS[0]]
+    out = _run(_make_kernel(("conv_id", "turn_idx")), rows, size=2)
+    assert len(out) == 1
+    assert out.loc[0, "extracted_text"] == "hello world"
+
+
+def test_extraction_columns_present_after_dedupe():
+    out = _run(_make_kernel(("conv_id", "turn_idx")), ROWS)
+    for col in ("content_type", "extracted_text", "spans", "confidence",
+                "language", "status", "error", "metadata",
+                "extractor_version", "proc_us"):
+        assert col in out.columns
+    assert (out.status == "ok").all()
