@@ -146,8 +146,23 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         n_perms: int = 12, rows_per_band: int = 3) -> DataFrame:
     """LSH near-dup candidates: docs sharing any band key. The bucket
     self-join is the ONLY shuffle in the whole minhash→LSH chain; at
-    corpus scale buckets are tiny, so the shuffle is the only O(n) cost."""
-    keys = lsh_band_keys(df, id_col, text_col, n_perms, rows_per_band)
+    corpus scale buckets are tiny, so the shuffle is the only O(n) cost.
+
+    The band-keys table is persisted and eagerly materialized BEFORE the
+    self-join: the two differently-aliased join sides otherwise each
+    evaluate the signature kernel — the dominant cost — doubling the most
+    expensive stage (VERDICT r1 #1). Eager (count-forced) materialization
+    matters because the join's two scan stages run concurrently: a lazily
+    cached plan would be race-computed by both. persist() rather than
+    localCheckpoint(): on a real cluster a lost cache block is recomputed
+    from lineage, while a lost localCheckpoint block fails the job; at
+    true 100 TB scale the equivalent is writing band keys to a durable
+    intermediate table and self-joining the re-read."""
+    from pyspark.storagelevel import StorageLevel
+
+    keys = lsh_band_keys(df, id_col, text_col, n_perms, rows_per_band) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    keys.count()  # materialize ONCE before the join forks two readers
     a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (

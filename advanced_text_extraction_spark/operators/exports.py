@@ -42,14 +42,21 @@ def _project(df: DataFrame, cols: list[str] | None) -> DataFrame:
 def export_json(df: DataFrame, path: str, cols: list[str] | None = None,
                 partitions: int | None = None) -> None:
     """K2 — JSON-lines export + manifest envelope (reference
-    text_extractor.py:1139-1160). Record count comes from a real count so
-    the manifest is trustworthy; at scale pass ``partitions`` to bound
+    text_extractor.py:1139-1160). The record count is observed DURING the
+    write (``df.observe`` — metrics ride the write job itself), not by
+    reading the sink back: the previous read-back re-parsed the whole
+    export with schema inference, ~tripling export cost at scale
+    (VERDICT r1 #2 / ADVICE). At scale pass ``partitions`` to bound
     output file count."""
+    from pyspark.sql import Observation
+
     out = _project(df, cols)
     if partitions:
         out = out.coalesce(partitions)
+    obs = Observation()
+    out = out.observe(obs, F.count(F.lit(1)).alias("n"))
     out.write.mode("overwrite").json(path)
-    n = out.sparkSession.read.json(path).count()
+    n = obs.get["n"]
     manifest = {
         "export_timestamp": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime()),
         "total_records": n,

@@ -18,6 +18,7 @@ from __future__ import annotations
 import time
 
 import pandas as pd
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -113,7 +114,34 @@ def extract_one(payload: str | None) -> dict:
     }
 
 
-def _make_kernel(dedupe_keys: tuple[str, ...] | None):
+class BucketStatsParam(AccumulatorParam):
+    """Accumulator merging per-bucket (rows, bytes, errors, wall_us) tuples
+    — lineage stats gathered INSIDE the extraction pass, so no second scan
+    of the output is ever needed (VERDICT r1 #4)."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            cur = a.get(k)
+            a[k] = tuple(x + y for x, y in zip(cur, v)) if cur else v
+        return a
+
+
+_NULL_KEY = ("\x00<null>",)  # sentinel: dropDuplicates treats nulls as equal
+
+
+def _norm_key(key: tuple) -> tuple:
+    """Normalize nulls/NaN in a dedupe-key tuple: pd.isna values never
+    compare equal to themselves (NaN != NaN), which would silently keep
+    duplicate null-keyed rows — dropDuplicates semantics treat nulls as
+    equal, so the folded dedupe must too."""
+    return tuple(_NULL_KEY if pd.isna(k) else k for k in key)
+
+
+def _make_kernel(dedupe_keys: tuple[str, ...] | None,
+                 stats_acc=None, bucket_col: str = "part_bucket"):
     """Build the mapInPandas kernel, optionally deduplicating on
     ``dedupe_keys`` WITHIN the partition (first copy wins).
 
@@ -124,7 +152,11 @@ def _make_kernel(dedupe_keys: tuple[str, ...] | None):
     /root/reference/cli.py:430) into the extraction pass removes the
     dropDuplicates aggregate and its exchange: the whole job keeps ONE
     data shuffle. The seen-set holds only this partition's keys
-    (|partition| tuples — bounded by the salted layout, not the corpus)."""
+    (|partition| tuples — bounded by the salted layout, not the corpus).
+
+    ``stats_acc`` (a BucketStatsParam accumulator) collects per-bucket
+    (rows, raw_bytes, errors, wall_us) as a side output of the same pass —
+    the lineage source, replacing any read-back of the written table."""
 
     def _extract_batches(batches):
         seen: set | None = set() if dedupe_keys else None
@@ -132,6 +164,7 @@ def _make_kernel(dedupe_keys: tuple[str, ...] | None):
             if dedupe_keys:
                 mask = []
                 for key in zip(*(pdf[k] for k in dedupe_keys)):
+                    key = _norm_key(key)
                     if key in seen:
                         mask.append(False)
                     else:
@@ -142,29 +175,51 @@ def _make_kernel(dedupe_keys: tuple[str, ...] | None):
                     continue
             t0 = time.perf_counter_ns()
             recs = [extract_one(p) for p in pdf["text"]]
-            per_row_us = (time.perf_counter_ns() - t0) // 1000 // max(len(recs), 1)
+            wall_us = (time.perf_counter_ns() - t0) // 1000
+            per_row_us = wall_us // max(len(recs), 1)
             out = pdf.copy()
             for col in ("content_type", "extracted_text", "spans",
                         "confidence", "language", "status", "error",
                         "metadata", "extractor_version"):
                 out[col] = [r[col] for r in recs]
             out["proc_us"] = per_row_us
+            if stats_acc is not None and bucket_col in out.columns:
+                upd: dict[int, tuple] = {}
+                for b, g in out.groupby(bucket_col, sort=False):
+                    raw = sum(int(m["raw_len"]) for m in g["metadata"])
+                    errs = int((g["status"] == "error").sum())
+                    upd[int(b)] = (len(g), raw, errs,
+                                   per_row_us * len(g))
+                stats_acc.add(upd)
             yield out
 
     return _extract_batches
 
 
 def extract(df: DataFrame,
-            dedupe_keys: tuple[str, ...] | None = None) -> DataFrame:
+            dedupe_keys: tuple[str, ...] | None = None,
+            stats_acc=None, bucket_col: str = "part_bucket") -> DataFrame:
     """Apply the extraction dispatch over a transcripts DataFrame.
 
     The payload column must be named ``text``. All input columns are
     carried through; SPEC.md §6 columns are appended. Partitioning is the
     caller's concern (see ``plans/pipeline.py`` for the salted layout).
     ``dedupe_keys`` enables partition-local dedupe (see _make_kernel —
-    only exact when copies are co-located by the upstream exchange)."""
-    return df.mapInPandas(_make_kernel(dedupe_keys),
+    only exact when copies are co-located by the upstream exchange).
+    ``stats_acc`` (see :func:`new_stats_accumulator`) collects per-bucket
+    lineage stats as a side output of the extraction pass."""
+    return df.mapInPandas(_make_kernel(dedupe_keys, stats_acc, bucket_col),
                           schema=output_schema(df.schema))
+
+
+def new_stats_accumulator(spark):
+    """Per-bucket lineage-stats accumulator: {bucket: (rows, raw_bytes,
+    errors, wall_us)}. Values are exact for a successfully completed write
+    (one task attempt per partition commits); a re-executed stage could
+    double-count, so authoritative *row counts* come from parquet footers
+    (sources/catalog.bucket_row_counts) and the accumulator supplies the
+    diagnostics footers cannot (bytes, error rows, kernel wall time)."""
+    return spark.sparkContext.accumulator({}, BucketStatsParam())
 
 
 def with_confidence_filter(df: DataFrame, threshold: float) -> DataFrame:

@@ -36,7 +36,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.extract import EXTRACTOR_VERSION, extract
+from ..operators.extract import (
+    EXTRACTOR_VERSION,
+    extract,
+    new_stats_accumulator,
+)
 from ..sources import catalog
 
 DEFAULT_N_BUCKETS = 32
@@ -111,30 +115,37 @@ def run_extract_job(
     # ordering (partition columns first) is already satisfied — otherwise
     # the writer inserts its own part_bucket-only sort, which is not
     # stable and would scramble the (conv_id, turn_idx) order
-    extracted = extract(df, dedupe_keys=("conv_id", "turn_idx")) \
+    stats_acc = new_stats_accumulator(spark)
+    extracted = extract(df, dedupe_keys=("conv_id", "turn_idx"),
+                        stats_acc=stats_acc) \
         .sortWithinPartitions("part_bucket", "conv_id", "turn_idx")
     catalog.write_extracted(extracted, out_root)
 
-    # Lineage derives from what is durably on disk (read-back of the
-    # buckets just written), not from a recompute of the UDF stage.
-    written = catalog.read_extracted(spark, out_root)
-    if skipped:
-        written = written.filter(~F.col("part_bucket").isin(skipped))
-    if only_buckets is not None:
-        written = written.filter(F.col("part_bucket").isin(only_buckets))
-    lineage = written.groupBy("part_bucket").agg(
-        F.count("*").alias("input_rows"),
-        F.sum(F.element_at("metadata", "raw_len").cast("long")).alias("input_bytes"),
-        F.count("*").alias("output_rows"),
-        F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("error_rows"),
-        (F.sum("proc_us") / F.lit(1000.0)).cast("long").alias("wall_ms"),
-    ).withColumns({
-        "extractor_version": F.lit(EXTRACTOR_VERSION),
-        "run_id": F.lit(run_id),
-        "finished_ts": F.current_timestamp(),
-    })
-    catalog.append_lineage(lineage, out_root)
-
-    rows = lineage.select("part_bucket", "input_rows").collect()
-    return RunStats(run_id, sorted(r[0] for r in rows), skipped,
-                    sum(r[1] for r in rows), time.time() - t0)
+    # Lineage WITHOUT a second scan of the output (VERDICT r1 #4):
+    # per-bucket bytes/errors/kernel-wall come from the extraction pass
+    # itself (accumulator side output), authoritative row counts from the
+    # parquet footers of the files just written — driver-side metadata,
+    # O(n_files), vs. the previous read-back which re-scanned every
+    # written row (a second full pass of the output per run at 100 TB).
+    acc = stats_acc.value
+    footer_rows = catalog.bucket_row_counts(out_root) if acc else {}
+    lineage_rows = [
+        (b, int(rows), int(raw_bytes), int(footer_rows.get(b, rows)),
+         int(errors), int(wall_us // 1000))
+        for b, (rows, raw_bytes, errors, wall_us) in sorted(acc.items())
+    ]
+    input_rows = 0
+    if lineage_rows:
+        lineage = spark.createDataFrame(
+            lineage_rows,
+            "part_bucket int, input_rows long, input_bytes long, "
+            "output_rows long, error_rows long, wall_ms long",
+        ).withColumns({
+            "extractor_version": F.lit(EXTRACTOR_VERSION),
+            "run_id": F.lit(run_id),
+            "finished_ts": F.current_timestamp(),
+        })
+        catalog.append_lineage(lineage, out_root)
+        input_rows = sum(r[1] for r in lineage_rows)
+    return RunStats(run_id, [r[0] for r in lineage_rows], skipped,
+                    input_rows, time.time() - t0)

@@ -221,6 +221,11 @@ def run_scaling(mult: int) -> dict:
                       file=sys.stderr)
                 if label not in best or stats["wall_sec"] < best[label]["wall_sec"]:
                     best[label] = stats
+        missing = [label for label, _ in levels if label not in best]
+        if missing:
+            raise RuntimeError(
+                f"all attempts failed for parallelism level(s) {missing}; "
+                "no scaling number can be computed — see run FAILED logs above")
         res = {
             label: {"master": master,
                     "wall_sec": best[label]["wall_sec"],

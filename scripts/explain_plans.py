@@ -30,7 +30,13 @@ AUDIT = [
     ("latest_per_user", "window latest-per-key, single hash exchange"),
     ("minhash_signatures", "Arrow mapInPandas sketch — map-only, no shuffle"),
     ("lsh_candidate_pairs",
-     "sketch kernel → the ONLY shuffle is the band-bucket self-join"),
+     "band keys persisted+materialized ONCE (both self-join sides read "
+     "InMemoryTableScan — the signature kernel no longer runs twice, "
+     "fixing VERDICT r1 #1); the ONLY shuffle is the band-bucket "
+     "self-join. NOTE: formatted explain prints the cached plan under "
+     "EACH InMemoryRelation reference, so MapInPandas appears twice in "
+     "the TEXT below — both print the one shared cache entry, which is "
+     "populated by a single eager pass before the join runs"),
     ("cosine_topk", "narrow dot-product map + TakeOrdered"),
     ("summary_stats", "scalar agg: partial+final, no data shuffle"),
 ]
@@ -71,18 +77,31 @@ def main() -> int:
         "",
         "## flagship extraction job (plans/pipeline.py)",
         "",
-        "Expected shape: scan → hash-agg dedupe → single salted Exchange →"
-        " ArrowEvalPython/MapInPandas → per-partition sort → write. The"
-        " only data shuffle is the salted repartition (+ the dedupe's"
-        " aggregate exchange); order restore is sortWithinPartitions, NOT a"
-        " global sort.",
+        "The exact production shape of run_extract_job (transcripts read"
+        " from parquet, as on a cluster): scan → Project (bucket id) →"
+        " single salted Exchange → MapInPandas (dedupe folded into the"
+        " extraction kernel: partition-local seen-set, exact because the"
+        " salted exchange co-locates (conv_id, turn_idx) copies — commit"
+        " a9a611f removed the dropDuplicates aggregate and its exchange)"
+        " → sortWithinPartitions → write. Exactly ONE data Exchange in"
+        " the whole job; order restore is a per-partition sort, NOT a"
+        " global one. Lineage is an accumulator side-output of the same"
+        " MapInPandas + parquet footer metadata — no second scan of the"
+        " output appears anywhere (VERDICT r1 #4).",
         "",
     ]
 
-    tr = em.synth_transcripts(spark, args.sf_dir)
-    flagship = restore_order(
-        extract(salted_repartition(prepare(tr, 8), 8, 2)))
-    sections += ["```", formatted(flagship), "```", ""]
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="ate_plans_") as td:
+        tr_path = os.path.join(td, "transcripts")
+        em.synth_transcripts(spark, args.sf_dir).write.parquet(tr_path)
+        tr = spark.read.parquet(tr_path)
+        flagship = extract(
+            salted_repartition(prepare(tr, 8), 8, 2),
+            dedupe_keys=("conv_id", "turn_idx"),
+        ).sortWithinPartitions("part_bucket", "conv_id", "turn_idx")
+        sections += ["```", formatted(flagship), "```", ""]
 
     for name, why in AUDIT:
         sections += [f"## {name}", "", why, "", "```",

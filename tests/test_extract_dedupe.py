@@ -48,6 +48,46 @@ def test_fully_duplicate_batch_is_skipped():
     assert out.loc[0, "extracted_text"] == "hello world"
 
 
+def test_null_and_nan_keys_dedupe_like_dropduplicates():
+    """dropDuplicates treats nulls as equal; the folded dedupe must too —
+    raw NaN tuples would never match themselves (NaN != NaN) and silently
+    keep every null-keyed copy (ADVICE r1)."""
+    rows = [
+        {"conv_id": None, "turn_idx": float("nan"), "text": "null key"},
+        {"conv_id": None, "turn_idx": float("nan"), "text": "null key"},
+        {"conv_id": "a", "turn_idx": 0, "text": "real key"},
+        {"conv_id": None, "turn_idx": float("nan"), "text": "null key"},
+    ]
+    out = _run(_make_kernel(("conv_id", "turn_idx")), rows, size=2)
+    assert len(out) == 2  # one null-keyed survivor + one real row
+
+
+def test_stats_accumulator_collects_per_bucket():
+    """Lineage stats are a side output of the extraction pass (no
+    read-back of the written table — VERDICT r1 #4)."""
+
+    class FakeAcc:
+        def __init__(self):
+            self.value = {}
+
+        def add(self, upd):
+            from advanced_text_extraction_spark.operators.extract import (
+                BucketStatsParam,
+            )
+            BucketStatsParam().addInPlace(self.value, upd)
+
+    acc = FakeAcc()
+    rows = [dict(r, part_bucket=i % 2) for i, r in enumerate(ROWS)]
+    out = _run(_make_kernel(("conv_id", "turn_idx"), stats_acc=acc), rows)
+    assert set(acc.value) == {0, 1}
+    n_rows = sum(v[0] for v in acc.value.values())
+    assert n_rows == len(out)
+    raw_bytes = sum(v[1] for v in acc.value.values())
+    assert raw_bytes == int(out.metadata.map(lambda m: int(m["raw_len"])).sum())
+    assert all(v[2] == 0 for v in acc.value.values())  # no error rows
+    assert all(v[3] >= 0 for v in acc.value.values())  # wall_us
+
+
 def test_extraction_columns_present_after_dedupe():
     out = _run(_make_kernel(("conv_id", "turn_idx")), ROWS)
     for col in ("content_type", "extracted_text", "spans", "confidence",

@@ -1,0 +1,163 @@
+"""Direct tests for module surface flagged untested in VERDICT r1 #7:
+``with_confidence_filter`` (P6), ``history_top_n`` (W2 module twin),
+``resume_anti_join`` (J1 row-level variant) — plus the r2 scale levers in
+``similarity`` (parameterized n_bits, multi-band recall union,
+recommended_n_bits sizing)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_text_extraction_spark.operators import similarity as S
+from advanced_text_extraction_spark.operators.extract import (
+    EXTRACTOR_VERSION,
+    extract,
+    with_confidence_filter,
+)
+from advanced_text_extraction_spark.operators.windows import history_top_n
+from advanced_text_extraction_spark.plans.pipeline import run_extract_job
+from advanced_text_extraction_spark.sources import catalog
+
+
+# ---------------------------------------------------------------------------
+# P6 — confidence threshold filter
+# ---------------------------------------------------------------------------
+
+def test_with_confidence_filter(spark, transcripts_path):
+    out = extract(spark.read.parquet(transcripts_path).repartition(4)).cache()
+    # fixture mix has plain (1.0) and html/pdf (0.95) turns — a 0.99
+    # threshold keeps exactly the plain ones
+    kept = with_confidence_filter(out, 0.99)
+    assert kept.count() == out.filter(F.col("confidence") >= 0.99).count()
+    assert kept.filter(F.col("confidence") < 0.99).count() == 0
+    assert set(kept.select("content_type").distinct().toPandas()
+               .content_type) == {"text"}
+    # threshold 0 keeps everything
+    assert with_confidence_filter(out, 0.0).count() == out.count()
+    out.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# W2 — history top-N module function
+# ---------------------------------------------------------------------------
+
+def test_history_top_n(spark):
+    rows = [(i, f"t-{i:03d}", "x" * 200) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, ts string, text string")
+    out = history_top_n(df, "ts", 7, preview_col="text",
+                        preview_len=100).toPandas()
+    assert list(out.id) == list(range(49, 42, -1))  # newest first
+    assert (out.preview.str.len() == 100).all()     # text[:100] contract
+    # without a preview column, no preview col appears
+    assert "preview" not in history_top_n(df, "ts", 3).columns
+
+
+# ---------------------------------------------------------------------------
+# J1 — row-level resume anti-join
+# ---------------------------------------------------------------------------
+
+def test_resume_anti_join(spark, transcripts_path, tmp_path):
+    from advanced_text_extraction_spark.plans.pipeline import prepare
+
+    root = str(tmp_path / "wh")
+    df = spark.read.parquet(transcripts_path)
+    # before any lineage exists: passthrough
+    pre = prepare(df, n_buckets=4)
+    assert catalog.resume_anti_join(pre, spark, root,
+                                    EXTRACTOR_VERSION).count() == pre.count()
+    # complete buckets {0, 1}; the anti-join must drop exactly those rows
+    run_extract_job(spark, df, root, n_buckets=4, salt=2,
+                    only_buckets=[0, 1])
+    remaining = catalog.resume_anti_join(pre, spark, root, EXTRACTOR_VERSION)
+    expect = pre.filter(~F.col("part_bucket").isin([0, 1]))
+    assert remaining.count() == expect.count()
+    assert remaining.filter(F.col("part_bucket").isin([0, 1])).count() == 0
+    # a different extractor version sees no completed work
+    assert catalog.resume_anti_join(pre, spark, root,
+                                    "other/9.9").count() == pre.count()
+
+
+def test_lineage_without_output_rescan(spark, transcripts_path, tmp_path):
+    """Lineage values come from the extraction pass + parquet footers —
+    and they must match what is actually on disk."""
+    root = str(tmp_path / "wh2")
+    df = spark.read.parquet(transcripts_path)
+    stats = run_extract_job(spark, df, root, n_buckets=4, salt=2)
+    lineage = spark.read.parquet(catalog.lineage_path(root)).toPandas()
+    on_disk = catalog.read_extracted(spark, root)
+    per_bucket = {r["part_bucket"]: r["n"] for r in
+                  on_disk.groupBy("part_bucket").agg(F.count("*").alias("n"))
+                  .collect()}
+    assert dict(zip(lineage.part_bucket, lineage.output_rows)) == per_bucket
+    assert stats.input_rows == sum(per_bucket.values())
+    errs_on_disk = {r["part_bucket"]: r["n"] for r in
+                    on_disk.filter(F.col("status") == "error")
+                    .groupBy("part_bucket").agg(F.count("*").alias("n"))
+                    .collect()}
+    assert {b: n for b, n in zip(lineage.part_bucket, lineage.error_rows)
+            if n} == errs_on_disk
+    assert (lineage.input_bytes > 0).all()
+    # footer counts agree with the real table
+    assert catalog.bucket_row_counts(root) == per_bucket
+
+
+# ---------------------------------------------------------------------------
+# similarity scale levers (VERDICT r1 #5)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """64 vectors in 24 dims; ids 0..7 share one dominant direction (a
+    near-dup cluster — also a skewed bucket), the rest spread out."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(64):
+        if i < 8:  # near-dup cluster: same signs on every dim window
+            base = [1.0 + 0.01 * rng.random() for _ in range(24)]
+        else:
+            base = [rng.uniform(-1, 1) for _ in range(24)]
+        rows.append((i, [float(x) for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_neardup_wide_blocking_matches_narrow_on_cluster(vectors):
+    """n_bits=12 (4096 buckets) must still find the same-sign near-dup
+    cluster that n_bits=8 finds — widening the key never splits vectors
+    whose sign patterns agree on the wider window."""
+    pairs8 = {(r.id_a, r.id_b) for r in S.embedding_neardup_pairs(
+        vectors, threshold=0.99, n_bits=8).collect()}
+    pairs12 = {(r.id_a, r.id_b) for r in S.embedding_neardup_pairs(
+        vectors, threshold=0.99, n_bits=12).collect()}
+    cluster = {(a, b) for a in range(8) for b in range(a + 1, 8)}
+    assert cluster <= pairs8
+    assert cluster <= pairs12
+    assert pairs12 <= pairs8  # finer blocking only prunes candidates
+
+
+def test_neardup_multiband_recovers_recall(vectors):
+    """A pair split by band 0's sign flips can be recovered by band 1:
+    multi-band candidates are a superset of any single band's."""
+    single = {(r.id_a, r.id_b) for r in S.embedding_neardup_pairs(
+        vectors, threshold=0.5, n_bits=12, n_bands=1).collect()}
+    multi = {(r.id_a, r.id_b) for r in S.embedding_neardup_pairs(
+        vectors, threshold=0.5, n_bits=12, n_bands=2).collect()}
+    assert single <= multi
+    # and the union stays deduplicated
+    out = S.embedding_neardup_pairs(vectors, threshold=0.5, n_bits=12,
+                                    n_bands=2)
+    assert out.count() == out.distinct().count() == len(multi)
+
+
+def test_recommended_n_bits_scales_with_corpus():
+    assert S.recommended_n_bits(10_000) == 1          # tiny corpus
+    assert S.recommended_n_bits(2_560_000) == 8       # the r1 default scale
+    assert S.recommended_n_bits(10 ** 9) == math.ceil(math.log2(10 ** 9 / 1e4))
+    # bucket bound: expected rows per bucket stays ≤ target (uniform signs)
+    for n in (10 ** 6, 10 ** 9, 10 ** 12):
+        bits = S.recommended_n_bits(n)
+        assert n / (2 ** bits) <= 10_000
