@@ -728,6 +728,7 @@ def oracle_sql() -> dict[str, str]:
     o["sniff_content_type"] = r"""
         SELECT doc_id,
                CASE WHEN starts_with(trim(text), 'JVBE') THEN 'pdf'
+                    WHEN starts_with(trim(text), 'UEsDB') THEN 'office'
                     WHEN regexp_matches(trim(text),
                          '(?is)<(!doctype\s+html|html|head|body|div|p|br|h[1-6]|ul|ol|li|table|a|span|nav|footer|header|article|section|main)[\s>]')
                     THEN 'html' ELSE 'text' END AS content_type

@@ -53,6 +53,7 @@ def content_type_prefilter(col) -> Column:
     t = F.trim(col)
     return (
         F.when(t.startswith("JVBE"), F.lit("pdf"))
+        .when(t.startswith("UEsDB"), F.lit("office"))  # base64 PK\x03\x04
         .when(t.rlike(html_probe), F.lit("html"))
         .otherwise(F.lit("text"))
     )

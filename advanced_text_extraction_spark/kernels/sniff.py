@@ -25,10 +25,12 @@ _B64_WS_RE = re.compile(r"\s+")
 
 
 def sniff_content_type(payload: str) -> tuple[str, bytes | None, str]:
-    """Return ``(content_type, pdf_bytes_or_None, error)``.
+    """Return ``(content_type, decoded_bytes_or_None, error)``.
 
-    ``content_type`` in {'text','html','pdf'}; ``error`` non-empty only for
-    the pdf-magic-but-undecodable case (failure-as-data, SPEC.md §1 step 2).
+    ``content_type`` in {'text','html','pdf','office'}; 'office' carries
+    the decoded ZIP bytes (docx/xlsx/pptx resolved by the office kernel
+    from the OOXML part names). ``error`` non-empty only for the
+    magic-but-undecodable cases (failure-as-data, SPEC.md §1 step 2).
     """
     t = payload.strip()
     if not t:
@@ -42,6 +44,15 @@ def sniff_content_type(payload: str) -> tuple[str, bytes | None, str]:
         if raw.startswith(b"%PDF"):
             return "pdf", raw, ""
         return "pdf", None, "base64 payload lacks %PDF magic"
+    if t.startswith("UEsDB"):  # base64 of b'PK\x03\x04' — OOXML zip
+        compact = _B64_WS_RE.sub("", t)
+        try:
+            raw = base64.b64decode(compact, validate=True)
+        except (binascii.Error, ValueError) as exc:
+            return "office", None, f"base64 decode failed: {exc}"
+        if raw.startswith(b"PK\x03\x04"):
+            return "office", raw, ""
+        return "office", None, "base64 payload lacks zip magic"
     if _HTML_TAG_RE.search(t):
         return "html", None, ""
     return "text", None, ""

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from collections import Counter
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -72,13 +73,20 @@ def _shingle_list(text: str | None, k: int = 3) -> list[str]:
 def _signature(text: str | None, n_perms: int, k: int = 3) -> list[str] | None:
     """MinHash signature: perm p's hash of shingle s = md5('<p>:'||s);
     sig[p] = min over the doc's shingles (min over the multiset equals
-    min over the distinct set — no dedup pass needed)."""
-    sh = _shingle_list(text, k)
+    min over the distinct set, so shingles are deduplicated first).
+
+    Bit-identical throughput tweaks: shingles are UTF-8-encoded ONCE and
+    perm prefixes prepended as bytes — the naive form re-encodes an
+    f-string per (perm, shingle), n_perms× the encoding work; md5 of
+    prefix+bytes equals md5 of the f-string byte-for-byte."""
+    sh = set(_shingle_list(text, k))
     if not sh:
         return None
+    enc = [s.encode() for s in sh]
+    md5 = hashlib.md5
     return [
-        min(hashlib.md5(f"{p}:{s}".encode()).hexdigest() for s in sh)
-        for p in range(n_perms)
+        min(md5(pre + e).hexdigest() for e in enc)
+        for pre in (f"{p}:".encode() for p in range(n_perms))
     ]
 
 
@@ -200,6 +208,12 @@ def ngram_jaccard_pairs(shingles: DataFrame, id_col: str,
     )
 
 
+# bit j of the SimHash spec reads md5-hex nibble j//4, bit j%4. With
+# v = int(hex[:8], 16), hex[0] lands in v's MOST significant nibble, so
+# spec-bit j = (v >> _SIM_SHIFTS[j]) & 1 with this shift permutation:
+_SIM_SHIFTS = [(7 - j // 4) * 4 + j % 4 for j in range(32)]
+
+
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash over word occurrences. Per token, bit j comes from
     md5 nibble j//4 (bit j%4); doc bit j = sign of Σ(±1).
@@ -209,14 +223,27 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     |tokens|×32 rows per doc; a higher-order-function column formulation
     is interpreted per element — both lose badly at corpus scale.)
     Matches the oracle's strpos-based nibble decode bit-for-bit; docs
-    with no tokens emit no row, as in the SQL formulation."""
+    with no tokens emit no row, as in the SQL formulation.
+
+    Kernel vectorization (bit-identical to the per-token reference loop):
+    tokens collapse to (distinct token, count) — Σ(±1) over occurrences
+    equals count-weighted ±1 over distinct tokens — the 32-bit vote table
+    is one numpy weights·signs product instead of a 32-iteration Python
+    loop per token, and md5 values are memoized per partition (natural
+    text repeats tokens heavily; md5 is deterministic so the cache is
+    semantics-free, bounded at 2^20 entries)."""
+    import numpy as np
+
     schema = T.StructType([
         df.schema[id_col],
         T.StructField("simhash", T.LongType(), False),
     ])
     tok_re = re.compile(r"[^a-z0-9]+")
+    shifts = np.array(_SIM_SHIFTS, dtype=np.uint32)
+    out_bits = np.arange(32, dtype=np.int64)
 
     def kernel(batches):
+        cache: dict[str, int] = {}
         for pdf in batches:
             ids, sims = [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
@@ -224,18 +251,22 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                         if x]
                 if not toks:
                     continue  # oracle: docs with no tokens emit no row
-                counts = [0] * 32
-                for tok in toks:
-                    h = hashlib.md5(tok.encode()).hexdigest()
-                    for nib_i in range(8):
-                        nib = int(h[nib_i], 16)
-                        base = nib_i * 4
-                        for b in range(4):
-                            counts[base + b] += 1 if (nib >> b) & 1 else -1
-                sim = 0
-                for j in range(32):
-                    if counts[j] > 0:
-                        sim |= 1 << j
+                counter = Counter(toks)
+                vs = np.empty(len(counter), dtype=np.uint32)
+                ws = np.empty(len(counter), dtype=np.int64)
+                for n, (tok, cnt) in enumerate(counter.items()):
+                    v = cache.get(tok)
+                    if v is None:
+                        if len(cache) > (1 << 20):
+                            cache.clear()
+                        v = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                        cache[tok] = v
+                    vs[n] = v
+                    ws[n] = cnt
+                signs = (((vs[:, None] >> shifts[None, :]) & 1)
+                         .astype(np.int64) * 2 - 1)
+                votes = ws @ signs
+                sim = int(((votes > 0).astype(np.int64) << out_bits).sum())
                 ids.append(i)
                 sims.append(sim)
             yield pd.DataFrame({id_col: ids, "simhash": sims})

@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from ..kernels.html_extract import extract_html
 from ..kernels.lang import detect_language
 from ..kernels.normalize import normalize_plain
+from ..kernels.office_extract import extract_office
 from ..kernels.pdf_extract import extract_pdf
 from ..kernels.sniff import sniff_content_type
 
@@ -78,7 +79,7 @@ def extract_one(payload: str | None) -> dict:
     if truncated:
         meta["truncated"] = "true"
 
-    content_type, pdf_bytes, err = sniff_content_type(raw)
+    content_type, payload_bytes, err = sniff_content_type(raw)
     text, spans, confidence, status = "", [], 1.0, "ok"
     if content_type == "pdf":
         confidence = 0.95  # text_extractor.py:511
@@ -86,10 +87,21 @@ def extract_one(payload: str | None) -> dict:
             status = "error"
         else:
             try:
-                text, spans, gate, n_pages = extract_pdf(pdf_bytes)
+                text, spans, gate, n_pages = extract_pdf(payload_bytes)
                 meta["text_layer"] = gate
                 meta["n_pages"] = str(n_pages)
             except Exception as exc:  # malformed PDF → failure-as-data
+                status, err, text, spans = "error", str(exc) or type(exc).__name__, "", []
+    elif content_type == "office":
+        confidence = 0.95  # text_extractor.py:639,689,734
+        if err:
+            status = "error"
+        else:
+            try:
+                kind, text, spans, office_meta = extract_office(payload_bytes)
+                content_type = kind  # 'docx' | 'excel' | 'powerpoint'
+                meta.update(office_meta)
+            except Exception as exc:  # malformed OOXML → failure-as-data
                 status, err, text, spans = "error", str(exc) or type(exc).__name__, "", []
     elif content_type == "html":
         confidence = 0.95  # structured-document tier, text_extractor.py:639

@@ -116,8 +116,13 @@ def run_extract_job(
     # the writer inserts its own part_bucket-only sort, which is not
     # stable and would scramble the (conv_id, turn_idx) order
     stats_acc = new_stats_accumulator(spark)
+    # the raw payload is NOT part of the output contract (SURVEY §1.2
+    # `extracted` schema) — carrying `text` through the write would
+    # re-store the whole input corpus: double the parquet encode CPU and
+    # write volume for a column every consumer already has upstream
     extracted = extract(df, dedupe_keys=("conv_id", "turn_idx"),
                         stats_acc=stats_acc) \
+        .drop("text") \
         .sortWithinPartitions("part_bucket", "conv_id", "turn_idx")
     catalog.write_extracted(extracted, out_root)
 

@@ -171,10 +171,16 @@ def _synth_input(path: str, mult: int) -> int:
 def _run_job(inp: str, out: str, master: str) -> dict | None:
     """One measured fresh-JVM run; None on timeout/crash (logged, skipped)."""
     try:
+        # salt 16: the synth has 40 conversations → ~23 non-empty buckets;
+        # at the default salt 4 that is only ~92 task groups over 128
+        # shuffle partitions — poor last-wave balance, which hurts the
+        # higher parallelism level disproportionately (fewer waves to
+        # amortize stragglers). 23×16 ≈ 368 groups balance by LLN.
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts", "run_extract.py"),
              "--input", inp, "--output", out, "--master", master,
-             "--no-resume", "--warmup", "--shuffle-partitions", "128"],
+             "--no-resume", "--warmup", "--shuffle-partitions", "128",
+             "--salt", "16"],
             capture_output=True, text=True, env=_subproc_env(master),
             cwd=REPO, check=True, timeout=1800)
         return json.loads(proc.stdout.strip().splitlines()[-1])
@@ -277,7 +283,13 @@ def write_bench_md(scaling: dict) -> None:
         "per-level JVM heap = 2 GiB/core (total memory scales with cluster",
         "size, as on a real cluster; a fixed shared heap at 4N cores would",
         "measure GC pressure, not compute scaling);",
-        "Arrow batch size fixed (1024 rows). Shuffle dirs + warehouse live",
+        "Arrow batch size fixed (1024 rows); salt 16 (the synth input has",
+        "40 conversations → ~23 non-empty buckets; 23×16 ≈ 368 task groups",
+        "over 128 shuffle partitions balance the last wave at both levels).",
+        "The serial tail is ~1-3 s after moving lineage off the output",
+        "re-scan (accumulator side-output + parquet footers) — the r1 tail",
+        "was ~22 s, which alone capped 2M-row measurements at ~0.55.",
+        "Shuffle dirs + warehouse live",
         "on tmpfs: per-node disk bandwidth scales with node count on a real",
         "cluster, but this sandbox shares ONE ~190 MB/s virtual disk across",
         "all cores — on it the job is disk-bound at every parallelism and",
@@ -315,11 +327,13 @@ def write_bench_md(scaling: dict) -> None:
     print(f"wrote {p}", file=sys.stderr)
 
 
-# 16M turns: the job's measured fixed tail (stage scheduling + commit +
-# lineage, ~20 s) must be small against the parallel phase for the core
-# ratio to be visible — fitting T(c) = R/(r·c) + f from measured runs
-# (r ≈ 7-10k rows/s/core, f ≈ 20 s) needs T_N ≈ 8-10 min at local[4]
-MULT_SCALING = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_MULT", "3200"))
+# 6M turns. The fixed serial tail is what caps measurable efficiency;
+# after moving lineage off the output re-scan (accumulator + parquet
+# footers) the refit of T(c) = R/(r·c) + f at 2M rows gives f ≈ 1-3 s
+# (was ~22 s), and 2M rows already measured 0.85 — the hardware ceiling.
+# 6M keeps T_N ≈ 6 min at local[4]: long enough that host CPU-steal
+# bursts average out, short enough for best-of-3 interleaved runs.
+MULT_SCALING = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_MULT", "1200"))
 
 
 def main() -> int:

@@ -1,8 +1,9 @@
 """Deterministic transcript fixture generator (FIXTURES.md, seed=42).
 
 Synthesizes the BASELINE.json:input_hint table shape
-``(conv_id, turn_idx, role, text, tool, ts)`` with three payload types
-(~70% plain / ~25% HTML / ~5% base64 PDF), long-conversation skew
+``(conv_id, turn_idx, role, text, tool, ts)`` with six payload types
+(~62% plain / ~24% HTML / ~5% base64 PDF / ~9% base64 OOXML
+docx+xlsx+pptx), long-conversation skew
 (conv-0 ≈ 20% of all turns), shuffled row order (forces the order-restore
 window), and the FIXTURES.md §3 edge-case rows. No external data.
 
@@ -261,6 +262,148 @@ def gen_pdf_payload(rng: random.Random, short: bool = False) -> str:
 
 
 # --------------------------------------------------------------------------
+# office payloads (OOXML zips — SURVEY §2.1 S6/S7/S8)
+# --------------------------------------------------------------------------
+
+_XML_ESCAPES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]
+
+
+def _xesc(s: str) -> str:
+    for a, b in _XML_ESCAPES:
+        s = s.replace(a, b)
+    return s
+
+
+def _ooxml_zip(parts: dict[str, str]) -> str:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in parts.items():
+            zf.writestr(name, content)
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+_W_NS = ('xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/'
+         '2006/main"')
+_S_NS = ('xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+         'relationships"')
+_P_NS = ('xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/'
+         'main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/'
+         '2006/relationships" xmlns:a="http://schemas.openxmlformats.org/'
+         'drawingml/2006/main"')
+_RELS_NS = ('xmlns="http://schemas.openxmlformats.org/package/2006/'
+            'relationships"')
+
+
+def gen_docx_payload(rng: random.Random) -> str:
+    lang = rng.choice(list(_VOCAB))
+    paras = [_sentence(rng, lang, rng.randint(5, 12))
+             for _ in range(rng.randint(1, 4))]
+    if rng.random() < 0.3:
+        paras.insert(rng.randrange(len(paras) + 1), "   ")  # dropped: blank
+    body = "".join(
+        f"<w:p><w:r><w:t xml:space=\"preserve\">{_xesc(p)}</w:t></w:r></w:p>"
+        for p in paras)
+    if rng.random() < 0.5:  # a table — cells joined ' | ' downstream
+        rows = []
+        for _ in range(rng.randint(1, 3)):
+            cells = "".join(
+                f"<w:tc><w:p><w:r><w:t>{_xesc(rng.choice(_LATIN_WORDS))}"
+                f"</w:t></w:r></w:p></w:tc>"
+                for _ in range(rng.randint(2, 4)))
+            rows.append(f"<w:tr>{cells}</w:tr>")
+        body += f"<w:tbl>{''.join(rows)}</w:tbl>"
+    doc = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+           f"<w:document {_W_NS}><w:body>{body}</w:body></w:document>")
+    return _ooxml_zip({
+        "[Content_Types].xml": '<?xml version="1.0"?><Types/>',
+        "word/document.xml": doc,
+    })
+
+
+def gen_xlsx_payload(rng: random.Random) -> str:
+    n_sheets = rng.randint(1, 3)
+    shared: list[str] = []
+    sheets_xml: dict[str, str] = {}
+    wb_sheets, rels = [], []
+    for s in range(1, n_sheets + 1):
+        empty = s == n_sheets and n_sheets > 1 and rng.random() < 0.3
+        rows_xml = []
+        if not empty:
+            for r in range(1, rng.randint(2, 5)):
+                cells = []
+                for c in range(rng.randint(1, 4)):
+                    if rng.random() < 0.5:  # shared string cell
+                        shared.append(rng.choice(_LATIN_WORDS))
+                        cells.append(f'<c t="s"><v>{len(shared) - 1}</v></c>')
+                    elif rng.random() < 0.5:  # integer
+                        cells.append(f"<c><v>{rng.randint(0, 999)}</v></c>")
+                    else:  # decimal
+                        cells.append(
+                            f"<c><v>{rng.randint(1, 99)}.{rng.randint(1, 9)}</v></c>")
+                rows_xml.append(f"<row>{''.join(cells)}</row>")
+        sheets_xml[f"xl/worksheets/sheet{s}.xml"] = (
+            f'<?xml version="1.0"?><worksheet {_S_NS}>'
+            f"<sheetData>{''.join(rows_xml)}</sheetData></worksheet>")
+        wb_sheets.append(
+            f'<sheet name="Data{s}" sheetId="{s}" r:id="rId{s}"/>')
+        rels.append(f'<Relationship Id="rId{s}" Type="t" '
+                    f'Target="worksheets/sheet{s}.xml"/>')
+    parts = {
+        "[Content_Types].xml": '<?xml version="1.0"?><Types/>',
+        "xl/workbook.xml": (
+            f'<?xml version="1.0"?><workbook {_S_NS}>'
+            f"<sheets>{''.join(wb_sheets)}</sheets></workbook>"),
+        "xl/_rels/workbook.xml.rels": (
+            f'<?xml version="1.0"?><Relationships {_RELS_NS}>'
+            f"{''.join(rels)}</Relationships>"),
+        **sheets_xml,
+    }
+    if shared:
+        parts["xl/sharedStrings.xml"] = (
+            f'<?xml version="1.0"?><sst {_S_NS.split(" xmlns:r")[0]}>'
+            + "".join(f"<si><t>{_xesc(t)}</t></si>" for t in shared)
+            + "</sst>")
+    return _ooxml_zip(parts)
+
+
+def gen_pptx_payload(rng: random.Random) -> str:
+    lang = rng.choice(list(_VOCAB))
+    n_slides = rng.randint(1, 3)
+    slide_parts: dict[str, str] = {}
+    sld_ids, rels = [], []
+    for s in range(1, n_slides + 1):
+        empty = n_slides > 1 and s == 2 and rng.random() < 0.3
+        shapes = []
+        if not empty:
+            for _ in range(rng.randint(1, 3)):
+                paras = "".join(
+                    f"<a:p><a:r><a:t>{_xesc(_sentence(rng, lang, rng.randint(3, 8)))}"
+                    f"</a:t></a:r></a:p>"
+                    for _ in range(rng.randint(1, 2)))
+                shapes.append(f"<p:sp><p:txBody>{paras}</p:txBody></p:sp>")
+        slide_parts[f"ppt/slides/slide{s}.xml"] = (
+            f'<?xml version="1.0"?><p:sld {_P_NS}><p:cSld><p:spTree>'
+            f"{''.join(shapes)}</p:spTree></p:cSld></p:sld>")
+        sld_ids.append(f'<p:sldId id="{255 + s}" r:id="rId{s}"/>')
+        rels.append(f'<Relationship Id="rId{s}" Type="t" '
+                    f'Target="slides/slide{s}.xml"/>')
+    return _ooxml_zip({
+        "[Content_Types].xml": '<?xml version="1.0"?><Types/>',
+        "ppt/presentation.xml": (
+            f'<?xml version="1.0"?><p:presentation {_P_NS}>'
+            f"<p:sldIdLst>{''.join(sld_ids)}</p:sldIdLst></p:presentation>"),
+        "ppt/_rels/presentation.xml.rels": (
+            f'<?xml version="1.0"?><Relationships {_RELS_NS}>'
+            f"{''.join(rels)}</Relationships>"),
+        **slide_parts,
+    })
+
+
+# --------------------------------------------------------------------------
 # transcript table
 # --------------------------------------------------------------------------
 
@@ -284,12 +427,18 @@ def gen_transcripts(n_turns: int = 2000, n_convs: int = 50,
         for t in range(sizes[c]):
             role = ROLES[t % 3]
             r = rng.random()
-            if r < 0.70:
+            if r < 0.62:
                 payload = gen_plain(rng)
-            elif r < 0.95:
+            elif r < 0.86:
                 payload = gen_html(rng)
-            else:
+            elif r < 0.91:
                 payload = gen_pdf_payload(rng)
+            elif r < 0.94:
+                payload = gen_docx_payload(rng)
+            elif r < 0.97:
+                payload = gen_xlsx_payload(rng)
+            else:
+                payload = gen_pptx_payload(rng)
             rows.append({
                 "conv_id": f"conv-{c}",
                 "turn_idx": t,
@@ -308,6 +457,8 @@ def gen_transcripts(n_turns: int = 2000, n_convs: int = 50,
         gen_html(rng, mismatched=True),        # unclosed tags
         "JVBE" + "RiBicm9rZW4",                # pdf magic, broken base64/magic
         gen_pdf_payload(rng, short=True),      # short text layer (P3 gate)
+        "UEsDB" + "%%not-base64%%",            # zip magic, broken base64
+        _ooxml_zip({"other/thing.xml": "<x/>"}),  # zip but not OOXML → error
     ]
     for j, payload in enumerate(edge):
         rows.append({

@@ -434,6 +434,205 @@ def _extract_pdf(data: bytes):
 
 
 # ---------------------------------------------------------------------------
+# office documents (SPEC.md §4b / SURVEY §2.1 S6-S8) — regex-based XML
+# reading, deliberately different from the engine's ElementTree walker
+# ---------------------------------------------------------------------------
+
+_XENT = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
+         "&apos;": "'"}
+
+
+def _xml_unescape(s: str) -> str:
+    return re.sub("|".join(_XENT), lambda m: _XENT[m.group(0)], s)
+
+
+_WPIECE_RE = re.compile(
+    r"<w:t[^>]*>(.*?)</w:t>|<w:t[^>]*/>|<w:(tab)\s*/>|<w:(br|cr)\s*/>",
+    re.S)
+
+
+def _w_text(fragment: str) -> str:
+    """python-docx run-text semantics over a w:p fragment."""
+    parts = []
+    for m in _WPIECE_RE.finditer(fragment):
+        if m.group(1) is not None:
+            parts.append(_xml_unescape(m.group(1)))
+        elif m.group(2):
+            parts.append("\t")
+        elif m.group(3):
+            parts.append("\n")
+    return "".join(parts)
+
+
+def _office_docx(read) -> tuple[str, list[str], dict]:
+    doc = read("word/document.xml").decode("utf-8")
+    tables = re.findall(r"<w:tbl[\s>].*?</w:tbl>", doc, re.S)
+    no_tbl = re.sub(r"<w:tbl[\s>].*?</w:tbl>", "", doc, flags=re.S)
+    paragraphs = [
+        t for t in (_w_text(p) for p in
+                    re.findall(r"<w:p[\s>].*?</w:p>", no_tbl, re.S))
+        if t.strip()
+    ]
+    rows: list[str] = []
+    for tbl in tables:
+        for tr in re.findall(r"<w:tr[\s>].*?</w:tr>|<w:tr>.*?</w:tr>",
+                             tbl, re.S):
+            cells = ["\n".join(_w_text(p) for p in
+                               re.findall(r"<w:p[\s>].*?</w:p>", tc, re.S)
+                               ).strip()
+                     for tc in re.findall(r"<w:tc[\s>].*?</w:tc>|"
+                                          r"<w:tc>.*?</w:tc>", tr, re.S)]
+            line = " | ".join(cells)
+            if line.strip():
+                rows.append(line)
+    text = "\n".join(paragraphs)
+    if rows:
+        text += "\n\nTables:\n" + "\n".join(rows)
+    meta = {"paragraphs": str(len(paragraphs)), "tables": str(len(tables)),
+            "file_type": "docx"}
+    return text, paragraphs + rows, meta
+
+
+def _office_sheet_list(read, wb_part: str, rels_part: str, tag: str,
+                       base: str) -> list[tuple[str, str]]:
+    wb = read(wb_part).decode("utf-8")
+    rels = read(rels_part).decode("utf-8")
+    rel_map = {}
+    for el in re.findall(r"<Relationship\b[^>]*>", rels):
+        rid = re.search(r'\bId="([^"]+)"', el)
+        tgt = re.search(r'\bTarget="([^"]+)"', el)
+        if rid and tgt:
+            rel_map[rid.group(1)] = tgt.group(1)
+    out = []
+    for m in re.finditer(rf"<{tag}(?=[\s/>])[^>]*/?>", wb):
+        el = m.group(0)
+        name = re.search(r'name="([^"]*)"', el)
+        rid = re.search(r'r:id="([^"]*)"', el)
+        if rid is None or rid.group(1) not in rel_map:
+            raise ValueError(f"bad {tag}: missing relationship")
+        out.append((_xml_unescape(name.group(1)) if name else "",
+                    base + "/" + rel_map[rid.group(1)]))
+    return out
+
+
+def _office_xlsx(read) -> tuple[str, list[str], dict]:
+    try:
+        sst = read("xl/sharedStrings.xml").decode("utf-8")
+        shared = ["".join(_xml_unescape(t) for t in
+                          re.findall(r"<t[^>]*>(.*?)</t>", si, re.S))
+                  for si in re.findall(r"<si>(.*?)</si>", sst, re.S)]
+    except KeyError:
+        shared = []
+    all_text: list[str] = []
+    sections: list[str] = []
+    total_cells = 0
+    sheets = _office_sheet_list(read, "xl/workbook.xml",
+                                "xl/_rels/workbook.xml.rels", "sheet", "xl")
+    for name, part in sheets:
+        ws = read(part).decode("utf-8")
+        lines = [f"Sheet: {name}"]
+        for row in re.findall(r"<row[^>]*>(.*?)</row>", ws, re.S):
+            vals = []
+            for cm in re.finditer(r"<c([^>]*)>(.*?)</c>|<c([^>]*)/>",
+                                  row, re.S):
+                attrs, body = cm.group(1) or cm.group(3) or "", cm.group(2) or ""
+                tm = re.search(r't="([^"]*)"', attrs)
+                ctype = tm.group(1) if tm else "n"
+                if ctype == "inlineStr":
+                    v = "".join(_xml_unescape(t) for t in
+                                re.findall(r"<t[^>]*>(.*?)</t>", body, re.S))
+                else:
+                    vm = re.search(r"<v>(.*?)</v>", body, re.S)
+                    if vm is None:
+                        continue
+                    raw_v = _xml_unescape(vm.group(1))
+                    if ctype == "s":
+                        v = shared[int(raw_v)]
+                    elif ctype in ("str", "e"):
+                        v = raw_v
+                    elif ctype == "b":
+                        v = str(raw_v.strip() not in ("0", "false", ""))
+                    else:
+                        f = float(raw_v)
+                        v = str(int(f)) if f.is_integer() else str(f)
+                vals.append(v)
+                total_cells += 1
+            if vals:
+                lines.append(" | ".join(vals))
+        if len(lines) > 1:
+            all_text.extend(lines)
+            all_text.append("")
+            sections.append("\n".join(lines))
+    meta = {"sheets": str(len(sheets)), "total_cells": str(total_cells),
+            "file_type": "xlsx"}
+    return "\n".join(all_text), sections, meta
+
+
+def _office_pptx(read) -> tuple[str, list[str], dict]:
+    slides = _office_sheet_list(read, "ppt/presentation.xml",
+                                "ppt/_rels/presentation.xml.rels",
+                                "p:sldId", "ppt")
+    all_text: list[str] = []
+    sections: list[str] = []
+    n_slides = 0
+    for i, (_, part) in enumerate(slides, 1):
+        sld = read(part).decode("utf-8")
+        lines = [f"Slide {i}:"]
+        for sp in re.findall(r"<p:sp>(.*?)</p:sp>", sld, re.S):
+            tx = re.search(r"<p:txBody>(.*?)</p:txBody>", sp, re.S)
+            if tx is None:
+                continue
+            paras = []
+            for p in re.findall(r"<a:p>(.*?)</a:p>", tx.group(1), re.S):
+                runs = []
+                for m in re.finditer(r"<a:t[^>]*>(.*?)</a:t>|<a:br\s*/>",
+                                     p, re.S):
+                    runs.append("\n" if m.group(1) is None
+                                else _xml_unescape(m.group(1)))
+                paras.append("".join(runs))
+            t = "\n".join(paras)
+            if t.strip():
+                lines.append(t)
+        if len(lines) > 1:
+            all_text.extend(lines)
+            all_text.append("")
+            sections.append("\n".join(lines))
+            n_slides += 1
+    meta = {"slides": str(n_slides), "file_type": "pptx"}
+    return "\n".join(all_text), sections, meta
+
+
+def _extract_office(blob: bytes):
+    """(kind, text, spans, meta) — dispatch by OOXML part name."""
+    import io
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        names = set(zf.namelist())
+        read = zf.read
+        if "word/document.xml" in names:
+            kind, (text, blocks, meta) = "docx", _office_docx(read)
+        elif "xl/workbook.xml" in names:
+            kind, (text, blocks, meta) = "excel", _office_xlsx(read)
+        elif "ppt/presentation.xml" in names:
+            kind, (text, blocks, meta) = "powerpoint", _office_pptx(read)
+        else:
+            raise ValueError("unsupported office document type")
+    text = unicodedata.normalize("NFC", text)
+    spans = []
+    pos = 0
+    for i, b in enumerate(unicodedata.normalize("NFC", x) for x in blocks):
+        if not b:
+            continue
+        start = text.find(b, pos)
+        if start < 0:
+            continue
+        spans.append((i, start, start + len(b), -1, -1))
+        pos = start + len(b)
+    return kind, text, spans, meta
+
+
+# ---------------------------------------------------------------------------
 # dispatch (SPEC.md §1 + §6)
 # ---------------------------------------------------------------------------
 
@@ -468,6 +667,19 @@ def extract_payload(payload: str) -> dict:
             meta["text_layer"] = gate
             meta["n_pages"] = str(n_pages)
         except (ValueError, binascii.Error, zlib.error, IndexError, KeyError) as e:
+            out.update(status="error", error=str(e) or type(e).__name__)
+    elif t.startswith("UEsDB"):
+        out["content_type"] = "office"
+        out["confidence"] = 0.95  # structured-document tier (:639,689,734)
+        try:
+            blob = base64.b64decode(re.sub(r"\s+", "", t), validate=True)
+            if not blob.startswith(b"PK\x03\x04"):
+                raise ValueError("base64 payload lacks zip magic")
+            kind, text, spans, ometa = _extract_office(blob)
+            out["content_type"] = kind
+            out.update(extracted_text=text, spans=spans)
+            meta.update(ometa)
+        except Exception as e:  # noqa: BLE001 — failure-as-data
             out.update(status="error", error=str(e) or type(e).__name__)
     elif t and _HTML_PROBE.search(t):
         out["content_type"] = "html"

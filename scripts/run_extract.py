@@ -21,9 +21,14 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="transcript extraction job")
     ap.add_argument("--input", required=True)
-    ap.add_argument("--output", required=True)
-    ap.add_argument("--n-buckets", type=int, default=32)
-    ap.add_argument("--salt", type=int, default=4)
+    ap.add_argument("--output", default=None,
+                    help="warehouse root; defaults to config warehouse.path")
+    ap.add_argument("--config", default=None,
+                    help="JSON config file shallow-merged over defaults "
+                         "(reference text_extractor.py:778-803 contract); "
+                         "explicit CLI flags override config values")
+    ap.add_argument("--n-buckets", type=int, default=None)
+    ap.add_argument("--salt", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None,
@@ -36,10 +41,21 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     from advanced_text_extraction_spark.plans.pipeline import run_extract_job
+    from advanced_text_extraction_spark.sources.config import load_config
     from advanced_text_extraction_spark.sources.session import build_session
 
+    cfg = load_config(args.config)
+    job = cfg["job"]
+    output = args.output or cfg["warehouse"]["path"]
+    n_buckets = args.n_buckets if args.n_buckets is not None else job["n_buckets"]
+    salt = args.salt if args.salt is not None else job["salt"]
+    shuffle = (args.shuffle_partitions if args.shuffle_partitions is not None
+               else job.get("shuffle_partitions"))
+    resume = job.get("resume", True) and not args.no_resume
+
     spark = build_session(app_name="ate-extract", master=args.master,
-                          shuffle_partitions=args.shuffle_partitions)
+                          shuffle_partitions=shuffle,
+                          arrow_batch_rows=job.get("arrow_batch_rows", 1024))
     try:
         df = spark.read.parquet(args.input)
         if args.warmup:
@@ -48,9 +64,9 @@ def main(argv: list[str] | None = None) -> int:
             (extract(df.limit(64 * n).repartition(n))
              .write.format("noop").mode("overwrite").save())
         stats = run_extract_job(
-            spark, df, args.output,
-            n_buckets=args.n_buckets, salt=args.salt,
-            resume=not args.no_resume,
+            spark, df, output,
+            n_buckets=n_buckets, salt=salt,
+            resume=resume,
         )
         print(json.dumps({
             "run_id": stats.run_id,

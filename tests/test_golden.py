@@ -69,8 +69,9 @@ def test_spans_match_and_reconstruct(extracted, golden_pdf):
             assert s > prev_end
             prev_end = e
             assert row.extracted_text[s:e] != "" or s == e
-            if row.content_type == "pdf":
-                assert ss == se == -1
+            if row.content_type in ("pdf", "docx", "excel", "powerpoint",
+                                    "office"):
+                assert ss == se == -1  # binary source: no char offsets
             else:
                 assert 0 <= ss <= se <= int(row.metadata["raw_len"])
 
@@ -109,10 +110,15 @@ def test_error_rows_survive(extracted):
 def test_edge_rows(extracted):
     _, out = extracted
     by_key = out.set_index(["conv_id", "turn_idx"])
-    # FIXTURES.md §3: conv-1 tail rows — empty, ws-only, all-boilerplate html
-    tail = out[out.conv_id == "conv-1"].sort_values("turn_idx").tail(6)
+    # FIXTURES.md §3: conv-1 tail rows — empty, ws-only, all-boilerplate
+    # html, broken pdf, short pdf, broken office zip, non-OOXML zip
+    tail = out[out.conv_id == "conv-1"].sort_values("turn_idx").tail(8)
     texts = list(tail.extracted_text)
     assert texts[0] == "" and texts[1] == ""  # empty + whitespace-only
     assert texts[2] == ""                     # all-boilerplate html
     assert tail.iloc[2].content_type == "html"
     assert (tail.iloc[0].language == "unknown")
+    assert tail.iloc[6].content_type == "office"      # broken base64 zip
+    assert tail.iloc[6].status == "error"
+    assert tail.iloc[7].content_type == "office"      # zip but not OOXML
+    assert tail.iloc[7].status == "error"
