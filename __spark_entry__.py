@@ -54,7 +54,8 @@ def _spread(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def synth_transcripts(spark: SparkSession, sf_dir: str,
-                      mult: int = 1, include_pdf: bool = True) -> DataFrame:
+                      mult: int = 1, include_pdf: bool = True,
+                      skew: bool = False) -> DataFrame:
     """Deterministic transcript table from ``documents`` (input_hint shape):
     70% plain payloads, 25% wrapped in an HTML page with boilerplate
     chrome, 5% a fixed base64 PDF (seeded fixture writer). All native
@@ -63,7 +64,10 @@ def synth_transcripts(spark: SparkSession, sf_dir: str,
     ``include_pdf=False`` swaps the PDF slice for HTML — every payload is
     then SQL-expressible, which is what lets the driver's DuckDB oracle
     hash-check the full pipeline end-to-end (the PDF-inclusive variant
-    stays value-gated by the pytest golden suite)."""
+    stays value-gated by the pytest golden suite). ``skew=True`` routes
+    ~20% of all turns into one conversation (the BASELINE.md skew
+    fixture shape) with doc_id as the turn index to keep keys unique —
+    the salted repartition must neutralize it (bench --skew-probe)."""
     import base64
     import random
 
@@ -89,10 +93,16 @@ def synth_transcripts(spark: SparkSession, sf_dir: str,
         F.col("text"),
         F.lit("</p></main><footer><a href='/tos'>Terms</a></footer></body></html>"),
     )
+    conv = F.concat(F.lit("conv-"),
+                    F.pmod(F.col("doc_id"), F.lit(40)).cast("string"))
+    turn = (F.col("doc_id") / 40).cast("int")
+    if skew:  # ~20% of turns land in conv-0; doc_id keeps keys unique
+        conv = F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                      F.lit("conv-0")).otherwise(conv)
+        turn = F.col("doc_id").cast("int")
     return docs.select(
-        F.concat(F.lit("conv-"), F.pmod(F.col("doc_id"), F.lit(40)).cast("string")
-                 ).alias("conv_id"),
-        (F.col("doc_id") / 40).cast("int").alias("turn_idx"),
+        conv.alias("conv_id"),
+        turn.alias("turn_idx"),
         F.element_at(F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
                      F.pmod(F.col("doc_id"), F.lit(3)).cast("int") + 1).alias("role"),
         F.when(mod < 14, F.col("text"))

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import io
 import posixpath
-import re
 import unicodedata
 import zipfile
 import xml.etree.ElementTree as ET
@@ -310,7 +309,3 @@ def _office_spans(text: str, blocks: list[str]) -> list[Span]:
         spans.append((i, start, start + len(b), -1, -1))
         pos = start + len(b)
     return spans
-
-
-_B64_ZIP_PREFIX = "UEsDB"  # base64 of b'PK\x03\x04'
-_B64_WS_RE = re.compile(r"\s+")

@@ -33,6 +33,15 @@ from ..kernels.sniff import sniff_content_type
 EXTRACTOR_VERSION = "ate-spark/0.1"
 MAX_PAYLOAD_CHARS = 2_000_000
 
+# P3 OCR-fallback extension point (reference text_extractor.py:501-507,
+# 575-610): when a PDF's text layer fails the >50-char gate the reference
+# re-renders pages and OCRs them. No OCR engine ships in this sandbox, so
+# the hook is None by default — the gate result is still recorded in
+# metadata['text_layer'] and a deployment with an OCR engine registers
+# `ocr_fallback = fn(pdf_bytes) -> (text, confidence)`; per-worker lazy
+# engine init belongs inside fn (reference eager-init analog :315-325).
+ocr_fallback = None
+
 SPAN_TYPE = T.ArrayType(
     T.StructType([
         T.StructField("block_idx", T.IntegerType(), False),
@@ -90,6 +99,16 @@ def extract_one(payload: str | None) -> dict:
                 text, spans, gate, n_pages = extract_pdf(payload_bytes)
                 meta["text_layer"] = gate
                 meta["n_pages"] = str(n_pages)
+                if gate == "short" and ocr_fallback is not None:
+                    # reference P3: text layer too short → OCR the pages
+                    # (text_extractor.py:501-507); engine-reported mean
+                    # confidence replaces the 0.95 constant (A6/A7)
+                    ocr_text, ocr_conf = ocr_fallback(payload_bytes)
+                    if len(ocr_text.strip()) > len(text.strip()):
+                        text, confidence = ocr_text, float(ocr_conf)
+                        spans = ([(0, 0, len(text), -1, -1)]
+                                 if text else [])
+                        meta["text_layer"] = "ocr"
             except Exception as exc:  # malformed PDF → failure-as-data
                 status, err, text, spans = "error", str(exc) or type(exc).__name__, "", []
     elif content_type == "office":

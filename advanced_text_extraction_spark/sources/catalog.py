@@ -79,6 +79,17 @@ def bucket_row_counts(root: str) -> dict[int, int]:
     return counts
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — resolves the
+    path's scheme (file://, hdfs://, s3a://, …) against the session's
+    Hadoop conf, so resume works on any warehouse a real cluster mounts
+    (r1 flagged the old ``os.path.exists`` as local-FS-only)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def completed_buckets(spark: SparkSession, root: str,
                       extractor_version: str) -> list[int]:
     """Buckets already completed by a prior run of this extractor version.
@@ -89,7 +100,7 @@ def completed_buckets(spark: SparkSession, root: str,
     (which remains available via :func:`resume_anti_join`).
     """
     path = lineage_path(root)
-    if not os.path.exists(path):  # local FS; Iceberg: catalog.tableExists
+    if not _fs_exists(spark, path):  # Iceberg: catalog.tableExists
         return []
     lineage = spark.read.parquet(path)
     rows = (
@@ -104,7 +115,7 @@ def resume_anti_join(df: DataFrame, spark: SparkSession, root: str,
     """Row-level variant of the resume filter (SURVEY §2.5 J1): broadcast
     LEFT ANTI JOIN against lineage — used when buckets can be partially
     written (e.g. streaming backfill), at the cost of a broadcast."""
-    if not os.path.exists(lineage_path(root)):
+    if not _fs_exists(spark, lineage_path(root)):
         return df
     lineage = spark.read.parquet(lineage_path(root))
     done = (

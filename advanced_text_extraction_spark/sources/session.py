@@ -41,6 +41,11 @@ def build_session(
         # idempotent per-partition overwrite (reference J2 upsert analog)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # e.g. -XX:ActiveProcessorCount=N for CPU-budget-pinned runs
+        # (bench scaling mode) — how a cgroup-aware JVM behaves under a
+        # container CPU limit on a real cluster
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_DRIVER_JAVA_OPTS", ""))
         .config("spark.ui.enabled", "false")
         # local mode: no data locality to wait for — schedule immediately
         .config("spark.locality.wait", "0s")

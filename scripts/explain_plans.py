@@ -100,7 +100,8 @@ def main() -> int:
         flagship = extract(
             salted_repartition(prepare(tr, 8), 8, 2),
             dedupe_keys=("conv_id", "turn_idx"),
-        ).sortWithinPartitions("part_bucket", "conv_id", "turn_idx")
+        ).drop("text").sortWithinPartitions("part_bucket", "conv_id",
+                                            "turn_idx")
         sections += ["```", formatted(flagship), "```", ""]
 
     for name, why in AUDIT:

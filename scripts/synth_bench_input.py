@@ -25,6 +25,9 @@ def main() -> int:
     ap.add_argument("--mult", type=int, required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--files", type=int, default=64)
+    ap.add_argument("--skew", action="store_true",
+                    help="route ~20%% of turns into one conversation "
+                         "(BASELINE.md skew fixture shape)")
     args = ap.parse_args()
 
     import __spark_entry__ as em
@@ -32,7 +35,8 @@ def main() -> int:
 
     spark = build_session(app_name="ate-bench-synth")
     try:
-        tr = em.synth_transcripts(spark, args.sf_dir, mult=args.mult)
+        tr = em.synth_transcripts(spark, args.sf_dir, mult=args.mult,
+                                  skew=args.skew)
         tr.repartition(args.files).write.mode("overwrite").parquet(args.out)
         print(spark.read.parquet(args.out).count())
     finally:

@@ -88,6 +88,41 @@ def test_stats_accumulator_collects_per_bucket():
     assert all(v[3] >= 0 for v in acc.value.values())  # wall_us
 
 
+def test_pdf_ocr_fallback_hook(monkeypatch):
+    """P3 gate + OCR fallback extension point (reference
+    text_extractor.py:501-507,575-610): without a registered engine the
+    short text layer is kept and flagged; with one, its text and mean
+    confidence replace the text-layer result."""
+    import random
+
+    from advanced_text_extraction_spark.operators import extract as X
+    from fixtures.gen import gen_pdf_payload
+
+    payload = gen_pdf_payload(random.Random(5), short=True)
+    base = X.extract_one(payload)
+    assert base["metadata"]["text_layer"] == "short"
+    assert base["confidence"] == 0.95
+
+    calls = []
+
+    def fake_ocr(pdf_bytes: bytes):
+        calls.append(pdf_bytes)
+        assert pdf_bytes.startswith(b"%PDF")
+        return "recovered by ocr " * 10, 0.81
+
+    monkeypatch.setattr(X, "ocr_fallback", fake_ocr)
+    out = X.extract_one(payload)
+    assert calls, "fallback not invoked on short text layer"
+    assert out["metadata"]["text_layer"] == "ocr"
+    assert out["extracted_text"].startswith("recovered by ocr")
+    assert out["confidence"] == 0.81
+    # a healthy text layer never triggers OCR
+    calls.clear()
+    healthy = gen_pdf_payload(random.Random(6), short=False)
+    X.extract_one(healthy)
+    assert not calls
+
+
 def test_extraction_columns_present_after_dedupe():
     out = _run(_make_kernel(("conv_id", "turn_idx")), ROWS)
     for col in ("content_type", "extracted_text", "spans", "confidence",
