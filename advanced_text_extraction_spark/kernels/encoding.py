@@ -1,0 +1,91 @@
+"""Encoding detection for binary text ingest — SURVEY.md §2.8 F3.
+
+The reference detects a text file's encoding with chardet before decoding
+(/root/reference/text_extractor.py:933-935: ``chardet.detect(raw)
+['encoding'] or 'utf-8'``, then decode). This is the from-scratch
+stand-in: a deterministic detector (BOM sniff → strict UTF-8 validation →
+UTF-16 zero-byte heuristic → latin-1 fallback) that covers the encodings
+a transcript/web corpus actually carries. chardet's full model (language
+frequency tables) is deliberately NOT reproduced — the contract is
+"name an encoding that round-trips the bytes", and every branch below
+guarantees the returned codec decodes the input without error.
+
+Scale shape: pure per-row byte inspection — embarrassingly parallel map
+work with no shuffle; the Spark wrapper is an Arrow-batched pandas UDF
+(see functions/binary.py). Cost is O(len) for the UTF-8 validation pass
+(C-speed ``bytes.decode``), the same asymptotics the reference pays.
+"""
+
+from __future__ import annotations
+
+_BOMS: list[tuple[bytes, str]] = [
+    # order matters: the UTF-32-LE BOM contains the UTF-16-LE BOM as a
+    # prefix. Labels are Python's BOM-AWARE codecs ('utf-16', 'utf-32',
+    # 'utf-8-sig'): they consume the BOM and resolve byte order on
+    # decode, so the marker never leaks into the text as U+FEFF.
+    (b"\xff\xfe\x00\x00", "utf-32"),
+    (b"\x00\x00\xfe\xff", "utf-32"),
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16"),
+    (b"\xfe\xff", "utf-16"),
+]
+
+
+def detect_encoding(data: bytes | None) -> tuple[str, float]:
+    """Return ``(encoding, confidence)`` for raw text bytes.
+
+    Deterministic decision ladder:
+    1. BOM present → that codec, confidence 1.0.
+    2. NUL-free and strict UTF-8 decode succeeds → 'ascii' (1.0) if
+       7-bit-pure else 'utf-8' (0.99 — valid multi-byte UTF-8 is a
+       near-certain signal; the NUL gate keeps BOM-less UTF-16 Latin
+       text, which is byte-wise valid UTF-8, out of this branch).
+    3. ≥30% NUL bytes concentrated on one parity → BOM-less UTF-16
+       (0.7): Latin-script UTF-16 text is ~every-other-byte NUL.
+    4. latin-1 (0.5): total function — every byte string decodes — the
+       same "always answer something" contract as chardet-or-utf-8.
+
+    Empty/None → ('utf-8', 0.0) like chardet's None → utf-8 default.
+    """
+    if not data:
+        return "utf-8", 0.0
+    for bom, name in _BOMS:
+        if data.startswith(bom):
+            return name, 1.0
+    if b"\x00" not in data:
+        # NUL never occurs in real text, but IS valid UTF-8 — a BOM-less
+        # UTF-16 Latin-script string would pass a strict UTF-8 decode.
+        # Gating on its absence keeps the ladders disjoint.
+        try:
+            data.decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            pass
+        else:
+            if data.isascii():
+                return "ascii", 1.0
+            return "utf-8", 0.99
+    n = len(data)
+    even_nul = data[0::2].count(0)
+    odd_nul = data[1::2].count(0)
+    if n >= 4 and (even_nul + odd_nul) / n >= 0.3:
+        if odd_nul > even_nul * 2:
+            return "utf-16-le", 0.7
+        if even_nul > odd_nul * 2:
+            return "utf-16-be", 0.7
+    return "latin-1", 0.5
+
+
+def decode_bytes(data: bytes | None) -> tuple[str, str, float]:
+    """F3 + read step fused (reference detects, then re-reads with the
+    detected codec): returns ``(text, encoding, confidence)``. Decode
+    errors cannot occur — every detector branch names a codec that
+    accepts the bytes (UTF-16 with an odd trailing byte falls back to
+    latin-1 so the total-function contract survives truncated input)."""
+    if not data:
+        return "", "utf-8", 0.0
+    enc, conf = detect_encoding(data)
+    try:
+        return data.decode(enc), enc, conf
+    except UnicodeDecodeError:
+        # reachable only on torn UTF-16/32 input (odd byte lengths)
+        return data.decode("latin-1"), "latin-1", 0.5

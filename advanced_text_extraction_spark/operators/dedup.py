@@ -20,6 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 from collections import Counter
@@ -70,24 +71,46 @@ def _shingle_list(text: str | None, k: int = 3) -> list[str]:
     return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
 
 
-def _signature(text: str | None, n_perms: int, k: int = 3) -> list[str] | None:
+@functools.lru_cache(maxsize=None)
+def _perm_prefixes(n_perms: int) -> tuple[bytes, ...]:
+    return tuple(f"{p}:".encode() for p in range(n_perms))
+
+
+def _signature(text: str | None, n_perms: int, k: int = 3,
+               cache: dict | None = None) -> list[str] | None:
     """MinHash signature: perm p's hash of shingle s = md5('<p>:'||s);
     sig[p] = min over the doc's shingles (min over the multiset equals
     min over the distinct set, so shingles are deduplicated first).
 
     Bit-identical throughput tweaks: shingles are UTF-8-encoded ONCE and
-    perm prefixes prepended as bytes — the naive form re-encodes an
-    f-string per (perm, shingle), n_perms× the encoding work; md5 of
-    prefix+bytes equals md5 of the f-string byte-for-byte."""
+    perm prefixes prepended as bytes (md5 of prefix+bytes equals md5 of
+    the f-string byte-for-byte), and each distinct shingle's n_perms
+    digests are memoized in ``cache`` — natural corpora repeat shingles
+    heavily across documents, and md5 is deterministic, so a partition-
+    scoped cache (one per Arrow kernel instance, bounded at 2^20
+    entries) removes the repeated hashing without touching semantics.
+    The per-perm min then reduces over cached tuples; Python str compare
+    on the hex digests is the same order the oracle's SQL min uses."""
     sh = set(_shingle_list(text, k))
     if not sh:
         return None
-    enc = [s.encode() for s in sh]
     md5 = hashlib.md5
-    return [
-        min(md5(pre + e).hexdigest() for e in enc)
-        for pre in (f"{p}:".encode() for p in range(n_perms))
-    ]
+    prefixes = _perm_prefixes(n_perms)
+    if cache is None:
+        cache = {}
+    rows = []
+    for s in sh:
+        d = cache.get(s)
+        if d is None:
+            if len(cache) > (1 << 20):
+                cache.clear()
+            e = s.encode()
+            d = tuple(md5(pre + e).hexdigest() for pre in prefixes)
+            cache[s] = d
+        rows.append(d)
+    if len(rows) == 1:
+        return list(rows[0])
+    return list(map(min, zip(*rows)))
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
@@ -107,10 +130,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     ])
 
     def kernel(batches):
+        cache: dict = {}  # shingle → digest tuple, partition-scoped
         for pdf in batches:
             ids, perms, mins = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                sig = _signature(t, n_perms)
+                sig = _signature(t, n_perms, cache=cache)
                 if sig is None:
                     continue
                 for p, m in enumerate(sig):
@@ -134,10 +158,11 @@ def lsh_band_keys(df: DataFrame, id_col: str, text_col: str,
     n_bands = n_perms // rows_per_band
 
     def kernel(batches):
+        cache: dict = {}  # shingle → digest tuple, partition-scoped
         for pdf in batches:
             ids, bands, keys = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                sig = _signature(t, n_perms)
+                sig = _signature(t, n_perms, cache=cache)
                 if sig is None:
                     continue
                 for b in range(n_bands):

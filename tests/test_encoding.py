@@ -1,0 +1,92 @@
+"""F3 encoding detection: kernel ladder + Spark binary-ingest wrapper
+(reference chardet-then-decode, /root/reference/text_extractor.py:933-938).
+"""
+
+from __future__ import annotations
+
+from advanced_text_extraction_spark.kernels.encoding import (
+    decode_bytes,
+    detect_encoding,
+)
+
+SAMPLE = "Zoë piñata — 北京 transcript №7"
+
+
+def test_bom_wins():
+    cases = [
+        (b"\xef\xbb\xbf" + SAMPLE.encode("utf-8"), "utf-8-sig"),
+        (b"\xff\xfe" + SAMPLE.encode("utf-16-le"), "utf-16"),
+        (b"\xfe\xff" + SAMPLE.encode("utf-16-be"), "utf-16"),
+        (b"\xff\xfe\x00\x00" + SAMPLE.encode("utf-32-le"), "utf-32"),
+        (b"\x00\x00\xfe\xff" + SAMPLE.encode("utf-32-be"), "utf-32"),
+    ]
+    for raw, want in cases:
+        got, conf = detect_encoding(raw)
+        assert (got, conf) == (want, 1.0), (want, got)
+        text, used, _ = decode_bytes(raw)
+        # BOM-aware codecs consume the marker — no U+FEFF leaks
+        assert text == SAMPLE, (used, text[:4])
+
+
+def test_ascii_and_utf8():
+    assert detect_encoding(b"plain ascii transcript") == ("ascii", 1.0)
+    enc, conf = detect_encoding(SAMPLE.encode("utf-8"))
+    assert enc == "utf-8" and conf == 0.99
+    assert decode_bytes(SAMPLE.encode("utf-8"))[0] == SAMPLE
+
+
+def test_bomless_utf16_heuristic():
+    # the -le/-be codecs write NO BOM — exactly the heuristic's case
+    raw = ("latin script text long enough to vote" * 3).encode("utf-16-le")
+    assert detect_encoding(raw) == ("utf-16-le", 0.7)
+    assert decode_bytes(raw)[0].startswith("latin script")
+    raw_be = ("latin script text long enough to vote" * 3).encode("utf-16-be")
+    assert detect_encoding(raw_be) == ("utf-16-be", 0.7)
+
+
+def test_latin1_fallback_total():
+    raw = "café à côté".encode("latin-1")
+    enc, conf = detect_encoding(raw)
+    assert enc == "latin-1" and conf == 0.5
+    assert decode_bytes(raw)[0] == "café à côté"
+    # arbitrary binary never raises
+    junk = bytes(range(256))
+    text, enc, _ = decode_bytes(junk)
+    assert isinstance(text, str) and len(text) > 0
+
+
+def test_empty_and_none_default_utf8():
+    assert detect_encoding(b"") == ("utf-8", 0.0)
+    assert detect_encoding(None) == ("utf-8", 0.0)
+    assert decode_bytes(None) == ("", "utf-8", 0.0)
+
+
+def test_torn_utf16_falls_back_without_raising():
+    raw = "abcdefghij".encode("utf-16-le") + b"\x41"  # odd length
+    text, enc, conf = decode_bytes(raw)
+    assert enc == "latin-1" and conf == 0.5  # total-function contract
+
+
+def test_with_decoded_text_spark(spark):
+    import pandas as pd
+    from advanced_text_extraction_spark.functions.binary import (
+        with_decoded_text,
+    )
+
+    rows = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "raw": [SAMPLE.encode("utf-8"),
+                b"pure ascii",
+                "café à côté".encode("latin-1"),
+                b"\xef\xbb\xbf" + b"bom text"],
+    })
+    df = spark.createDataFrame(rows)
+    out = with_decoded_text(df, "raw").orderBy("doc_id").collect()
+    assert [r.text for r in out] == [SAMPLE, "pure ascii",
+                                     "café à côté", "bom text"]
+    assert [r.encoding for r in out] == ["utf-8", "ascii",
+                                         "latin-1", "utf-8-sig"]
+    assert "raw" not in {f for r in out for f in r.asDict()}
+    # drop_bytes=False keeps the binary column
+    kept = with_decoded_text(df, "raw", drop_bytes=False)
+    assert "raw" in kept.columns
