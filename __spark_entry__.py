@@ -237,6 +237,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_html_roundtrip"] = _extract_html_roundtrip
     q["normalize_text"] = _normalize_text
 
+    # ---- OCR tier (SURVEY §2.10, implemented r2): render each document's
+    # charset-normalized prefix with the engine's bitmap font, OCR it back
+    # with the from-scratch template engine. Recognition of a clean render
+    # is exact by construction, so the oracle checks the whole raster →
+    # recognize path by recomputing the normalization in SQL. ----
+    from advanced_text_extraction_spark.operators import ocr as OCR
+
+    q["ocr_roundtrip"] = lambda s, d: OCR.ocr_roundtrip(
+        _spread(_t(s, d, "documents")))
+    q["ocr_summary"] = lambda s, d: OCR.ocr_roundtrip(
+        _spread(_t(s, d, "documents"))).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("confidence"), 6).alias("avg_confidence"))
+
     # ---- flagship end-to-end, oracle-checkable (plain+HTML payloads only;
     # every branch SQL-expressible — closes the r1 no_oracle gap; the
     # PDF-inclusive variant stays value-gated in tests/test_golden.py) ----
@@ -753,6 +768,36 @@ def oracle_sql() -> dict[str, str]:
     o["normalize_text"] = f"""
         SELECT doc_id, {_NORM_SQL} AS normalized
         FROM documents"""
+
+    # OCR roundtrip: the oracle recomputes the engine's pre-render
+    # normalization (ASCII-printable filter → upper → charset keep →
+    # whitespace collapse) — string equality against what the engine
+    # actually READ BACK from the rendered page checks the raster path
+    _OCR_NORM = r"""trim(regexp_replace(
+            regexp_replace(
+                upper(regexp_replace(substring(text, 1, 64),
+                                     '[^ -~]', ' ', 'g')),
+                '[^A-Z0-9 .,:;!?()+=/%#&*<>@$\[\]_''"-]', ' ', 'g'),
+            ' +', ' ', 'g'))"""
+    o["ocr_roundtrip"] = f"""
+        WITH norm AS (SELECT doc_id, {_OCR_NORM} AS n FROM documents)
+        SELECT doc_id, n AS ocr_text,
+               CAST(CASE WHEN n = '' THEN 0
+                         ELSE len(string_split(n, ' ')) END AS INT)
+                   AS n_tokens,
+               CAST(CASE WHEN n = '' THEN 0.0 ELSE 1.0 END AS DOUBLE)
+                   AS confidence
+        FROM norm"""
+
+    o["ocr_summary"] = f"""
+        WITH norm AS (SELECT doc_id, {_OCR_NORM} AS n FROM documents)
+        SELECT count(*) AS n_docs,
+               CAST(sum(CASE WHEN n = '' THEN 0
+                             ELSE len(string_split(n, ' ')) END) AS BIGINT)
+                   AS total_tokens,
+               round(avg(CASE WHEN n = '' THEN 0.0 ELSE 1.0 END), 6)
+                   AS avg_confidence
+        FROM norm"""
 
     # flagship end-to-end: replays synth_transcripts(include_pdf=False)'s
     # deterministic doc_id → (conv_id, turn_idx, payload-kind) mapping in

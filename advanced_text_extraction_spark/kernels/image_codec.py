@@ -1,0 +1,191 @@
+"""Raster image codecs in pure numpy (no cv2/PIL in this sandbox).
+
+Reference analog: ``cv2.imread`` / ``cv2.imdecode`` at
+/root/reference/text_extractor.py:887-903 (image OCR source S9) and the
+page-render decode at :585-595 (PDF OCR source S5). The reference leans on
+OpenCV for all raster I/O; this module implements the uncompressed
+container formats from scratch so the OCR tier is *real* end-to-end in a
+container without imaging libraries:
+
+- PGM/PPM (P2/P5/P3/P6, the netpbm family) — text and binary variants
+- BMP (BITMAPINFOHEADER; 8-bit paletted and 24-bit BGR, bottom-up or
+  top-down rows, 4-byte row padding)
+- raw gray buffers (width*height bytes — the shape of a FlateDecoded
+  /DeviceGray PDF image XObject)
+- the repo's FIMG fake container (multimodal/media.py) for synth tables
+
+Compressed formats (PNG/JPEG) route to an import-guarded real-codec hook,
+same pattern as multimodal/media.py:_decode_real_image.
+
+All decoders return ``np.ndarray`` of dtype uint8 — ``(h, w)`` grayscale
+or ``(h, w, 3)`` RGB — matching what the preprocessing kernel consumes.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+import numpy as np
+
+
+class ImageError(ValueError):
+    """Malformed raster payload; caller maps to status='error'."""
+
+
+# ---------------------------------------------------------------------------
+# netpbm (PGM/PPM)
+# ---------------------------------------------------------------------------
+
+_PNM_WS = re.compile(rb"^(?:\s+|#[^\n]*\n)+")
+
+
+def _pnm_tokens(buf: bytes, start: int, count: int) -> tuple[list[int], int]:
+    """Read `count` whitespace/comment-separated ASCII ints from buf."""
+    out: list[int] = []
+    i = start
+    while len(out) < count:
+        m = _PNM_WS.match(buf[i:])
+        if m:
+            i += m.end()
+        j = i
+        while j < len(buf) and buf[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ImageError("bad netpbm header")
+        out.append(int(buf[i:j]))
+        i = j
+    return out, i
+
+
+def decode_pnm(buf: bytes) -> np.ndarray:
+    magic = buf[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ImageError(f"not a PGM/PPM payload: {magic!r}")
+    nchan = 3 if magic in (b"P3", b"P6") else 1
+    (w, h, maxval), i = _pnm_tokens(buf, 2, 3)
+    if maxval <= 0 or maxval > 255:
+        raise ImageError(f"unsupported netpbm maxval {maxval}")
+    n = w * h * nchan
+    if magic in (b"P5", b"P6"):
+        i += 1  # single whitespace byte after maxval
+        px = np.frombuffer(buf, dtype=np.uint8, count=n, offset=i)
+    else:
+        vals, _ = _pnm_tokens(buf, i, n)
+        px = np.asarray(vals, dtype=np.uint8)
+    if maxval != 255:
+        px = (px.astype(np.uint16) * 255 // maxval).astype(np.uint8)
+    arr = px.reshape((h, w) if nchan == 1 else (h, w, 3))
+    return arr
+
+
+def encode_pgm(arr: np.ndarray) -> bytes:
+    """Binary P5 grayscale encoder (fixture/synth side)."""
+    if arr.ndim != 2:
+        raise ImageError("encode_pgm wants a 2-D gray array")
+    h, w = arr.shape
+    return b"P5 %d %d 255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER only — the variant every writer emits)
+# ---------------------------------------------------------------------------
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    if buf[:2] != b"BM":
+        raise ImageError("not a BMP payload")
+    if len(buf) < 54:
+        raise ImageError("truncated BMP header")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size = struct.unpack_from("<I", buf, 14)[0]
+    if hdr_size < 40:
+        raise ImageError(f"unsupported BMP header size {hdr_size}")
+    w, h_signed = struct.unpack_from("<ii", buf, 18)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if compression != 0:
+        raise ImageError(f"compressed BMP (type {compression}) unsupported")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    if bpp == 8:
+        # palette: 4-byte BGRA entries right after the info header
+        pal_off = 14 + hdr_size
+        n_colors = struct.unpack_from("<I", buf, 46)[0] or 256
+        pal = np.frombuffer(buf, dtype=np.uint8, count=n_colors * 4,
+                            offset=pal_off).reshape(n_colors, 4)
+        idx = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * h,
+                            offset=data_off).reshape(h, row_bytes)[:, :w]
+        bgr = pal[idx][:, :, :3]
+    elif bpp == 24:
+        raw = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * h,
+                            offset=data_off).reshape(h, row_bytes)
+        bgr = raw[:, : w * 3].reshape(h, w, 3)
+    else:
+        raise ImageError(f"unsupported BMP bpp {bpp}")
+    if not top_down:
+        bgr = bgr[::-1]
+    rgb = bgr[..., ::-1]
+    if (rgb[..., 0] == rgb[..., 1]).all() and (rgb[..., 1] == rgb[..., 2]).all():
+        return np.ascontiguousarray(rgb[..., 0])
+    return np.ascontiguousarray(rgb)
+
+
+def encode_bmp_gray(arr: np.ndarray) -> bytes:
+    """8-bit paletted grayscale BMP encoder (fixture side)."""
+    if arr.ndim != 2:
+        raise ImageError("encode_bmp_gray wants a 2-D gray array")
+    h, w = arr.shape
+    row_bytes = (w + 3) & ~3
+    pal = b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, :w] = arr[::-1]  # bottom-up
+    data_off = 14 + 40 + len(pal)
+    size = data_off + row_bytes * h
+    file_hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
+    info_hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                           row_bytes * h, 2835, 2835, 256, 0)
+    return file_hdr + info_hdr + pal + rows.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# raw gray (PDF /DeviceGray image XObject after FlateDecode)
+# ---------------------------------------------------------------------------
+
+def decode_raw_gray(buf: bytes, width: int, height: int) -> np.ndarray:
+    if len(buf) < width * height:
+        raise ImageError(
+            f"raw gray buffer too short: {len(buf)} < {width}x{height}")
+    return np.frombuffer(buf, dtype=np.uint8,
+                         count=width * height).reshape(height, width)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+def _decode_real(buf: bytes) -> np.ndarray:  # pragma: no cover - no libs here
+    try:
+        import cv2
+    except ImportError as exc:
+        raise NotImplementedError(
+            "compressed image codecs (PNG/JPEG) need cv2/PIL, not installed "
+            "in this environment") from exc
+    arr = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_UNCHANGED)
+    if arr is None:
+        raise ImageError("cv2.imdecode failed")
+    return arr
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    """Magic-sniffing decoder over every supported container."""
+    if buf[:2] in (b"P2", b"P3", b"P5", b"P6"):
+        return decode_pnm(buf)
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    if buf[:4] == b"FIMG":
+        w, h = struct.unpack(">HH", buf[4:8])
+        return decode_raw_gray(buf[8:], w, h)
+    if buf[:8] == b"\x89PNG\r\n\x1a\n" or buf[:3] == b"\xff\xd8\xff":
+        return _decode_real(buf)
+    raise ImageError(f"unrecognized image magic {buf[:4]!r}")

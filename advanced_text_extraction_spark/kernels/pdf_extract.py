@@ -95,14 +95,15 @@ def _decode_stream(head: bytes, raw: bytes) -> bytes:
     return raw
 
 
-def _page_content_streams(objs: dict[int, tuple[bytes, bytes | None]]) -> list[bytes]:
-    pages: dict[int, int] = {}  # page obj num -> contents obj num
+def _ordered_pages(objs: dict[int, tuple[bytes, bytes | None]]
+                   ) -> list[tuple[int, bytes]]:
+    """Page objects in document order: root /Pages /Kids when present,
+    else object-number order. Returns [(page_obj_num, page_dict_head)]."""
+    pages: dict[int, bytes] = {}
     kids_order: list[int] = []
     for num, (head, _stream) in objs.items():
         if re.search(rb"/Type\s*/Page\b(?!s)", head):
-            cm = _CONTENTS_RE.search(head)
-            if cm:
-                pages[num] = int(cm.group(1))
+            pages[num] = head
         elif re.search(rb"/Type\s*/Pages\b", head):
             km = _KIDS_RE.search(head)
             if km:
@@ -110,13 +111,60 @@ def _page_content_streams(objs: dict[int, tuple[bytes, bytes | None]]) -> list[b
     if not pages:
         raise PdfError("no /Type /Page objects")
     ordered = [n for n in kids_order if n in pages] or sorted(pages)
+    return [(n, pages[n]) for n in ordered]
+
+
+def _page_content_streams(objs: dict[int, tuple[bytes, bytes | None]]) -> list[bytes]:
     streams: list[bytes] = []
-    for page_num in ordered:
-        entry = objs.get(pages[page_num])
+    for _num, head in _ordered_pages(objs):
+        cm = _CONTENTS_RE.search(head)
+        if cm is None:
+            raise PdfError("page without /Contents")
+        entry = objs.get(int(cm.group(1)))
         if entry is None or entry[1] is None:
-            raise PdfError(f"missing /Contents stream object {pages[page_num]}")
+            raise PdfError(f"missing /Contents stream object {cm.group(1).decode()}")
         streams.append(_decode_stream(entry[0], entry[1]))
     return streams
+
+
+_XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
+_NAME_REF_RE = re.compile(rb"/[^\s/<>\[\]()]+\s+(\d+)\s+\d+\s+R")
+_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
+_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
+
+
+def extract_page_images(data: bytes) -> list[list[tuple[int, int, bytes]]]:
+    """Per-page decoded image XObjects — the raster source for the PDF OCR
+    path (S5; reference page render at /root/reference/text_extractor.py:
+    575-610 — a table pipeline carries scanned pages as embedded images
+    rather than re-rendering, so extraction replaces rasterization).
+
+    Returns one list per page of ``(width, height, raw_bytes)`` where
+    raw_bytes is the FlateDecoded /DeviceGray 8-bit sample buffer
+    (width*height bytes, row-major) — decode with
+    ``image_codec.decode_raw_gray``.
+    """
+    objs = _parse_objects(data)
+    out: list[list[tuple[int, int, bytes]]] = []
+    for _num, head in _ordered_pages(objs):
+        images: list[tuple[int, int, bytes]] = []
+        xm = _XOBJ_DICT_RE.search(head)
+        if xm:
+            for m in _NAME_REF_RE.finditer(xm.group(1)):
+                entry = objs.get(int(m.group(1)))
+                if entry is None or entry[1] is None:
+                    continue
+                ihead, istream = entry
+                if not re.search(rb"/Subtype\s*/Image\b", ihead):
+                    continue
+                wm = _WIDTH_RE.search(ihead)
+                hm = _HEIGHT_RE.search(ihead)
+                if not (wm and hm):
+                    continue
+                images.append((int(wm.group(1)), int(hm.group(1)),
+                               _decode_stream(ihead, istream)))
+        out.append(images)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -55,6 +55,7 @@ HEADLINE = [
     "cosine_topk",          # brute-force ANN baseline
     "ann_lsh_bucket_topk",  # bucketed ANN scale path
     "extract_html_roundtrip",  # HTML kernel through the real operator
+    "ocr_roundtrip",        # OCR tier: render + recognize round trip
 ]
 
 

@@ -261,6 +261,68 @@ def gen_pdf_payload(rng: random.Random, short: bool = False) -> str:
     return base64.b64encode(data).decode("ascii")
 
 
+def build_scanned_pdf(pages_text: list[str], scale: int = 3) -> bytes:
+    """Spec-valid "scanned" PDF: each page is a FlateDecode /DeviceGray
+    8-bit image XObject rendered from `pages_text` with the engine's
+    bitmap font — NO text layer, so the P3 >50-char gate routes it to the
+    OCR fallback (S5; reference text_extractor.py:575-610).
+
+    Page text must already be charset-normalized (kernels.ocr
+    normalize_to_charset) for an exact OCR roundtrip."""
+    from advanced_text_extraction_spark.kernels.ocr import render_page
+
+    objs: list[bytes] = []
+    n = len(pages_text)
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
+    for i, text in enumerate(pages_text):
+        page_num = 3 + 3 * i
+        img_num, content_num = page_num + 1, page_num + 2
+        arr = render_page(text, scale=scale)
+        h, w = arr.shape
+        comp = zlib.compress(arr.tobytes())
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_num} 0 R /Resources << /XObject "
+            f"<< /Im0 {img_num} 0 R >> >> >>".encode())
+        objs.append(
+            f"<< /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            f"/Filter /FlateDecode /Length {len(comp)} >>\nstream\n".encode()
+            + comp + b"\nendstream")
+        draw = f"q {w} 0 0 {h} 72 {720 - h} cm /Im0 Do Q".encode()
+        objs.append(f"<< /Length {len(draw)} >>\nstream\n".encode()
+                    + draw + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def gen_scanned_pdf_payload(rng: random.Random) -> tuple[str, str]:
+    """(base64 payload, expected OCR text) for a scanned PDF."""
+    from advanced_text_extraction_spark.kernels.ocr import \
+        normalize_to_charset
+
+    pages = []
+    for _ in range(rng.randint(1, 2)):
+        words = [rng.choice(_LATIN_WORDS) for _ in range(rng.randint(4, 8))]
+        pages.append(normalize_to_charset(" ".join(words)))
+    data = build_scanned_pdf(pages, scale=3)
+    return base64.b64encode(data).decode("ascii"), "\n\n".join(pages)
+
+
 # --------------------------------------------------------------------------
 # office payloads (OOXML zips — SURVEY §2.1 S6/S7/S8)
 # --------------------------------------------------------------------------

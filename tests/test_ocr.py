@@ -1,0 +1,283 @@
+"""OCR tier tests: codecs, preprocessing, engine, Spark operators,
+scanned-PDF fallback (SURVEY §2.10 — implemented in r2 via the
+from-scratch numpy engine; reference text_extractor.py:152-488)."""
+
+import base64
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from advanced_text_extraction_spark.kernels import image_prep as prep
+from advanced_text_extraction_spark.kernels.image_codec import (
+    decode_bmp, decode_image, decode_pnm, encode_bmp_gray, encode_pgm,
+    ImageError)
+from advanced_text_extraction_spark.kernels.ocr import (
+    FONT, normalize_to_charset, ocr_image, recognize, render_page,
+    select_engine)
+from advanced_text_extraction_spark.kernels.pdf_extract import (
+    extract_page_images, extract_pdf)
+from advanced_text_extraction_spark.operators import extract as extract_mod
+from advanced_text_extraction_spark.operators.ocr import (
+    install_pdf_ocr_fallback, ocr_images, ocr_pdf_bytes, ocr_roundtrip,
+    pdf_ocr_pages, page_confidence_stats, token_confidence_stats)
+from fixtures.gen import build_scanned_pdf, gen_scanned_pdf_payload
+
+TXT = "THE QUICK BROWN FOX 123\nJUMPS OVER THE LAZY DOG"
+
+
+# ---------------------------------------------------------------------------
+# codecs
+# ---------------------------------------------------------------------------
+
+def test_pgm_bmp_roundtrip():
+    arr = ((np.arange(23 * 17) * 7) % 251).astype(np.uint8).reshape(17, 23)
+    assert (decode_pnm(encode_pgm(arr)) == arr).all()
+    assert (decode_bmp(encode_bmp_gray(arr)) == arr).all()
+    assert (decode_image(encode_pgm(arr)) == arr).all()
+    assert (decode_image(encode_bmp_gray(arr)) == arr).all()
+
+
+def test_ascii_pgm_and_comments():
+    buf = b"P2 # a comment\n3 2 255\n0 128 255 10 20 30"
+    arr = decode_pnm(buf)
+    assert arr.shape == (2, 3) and arr[0, 2] == 255 and arr[1, 0] == 10
+
+
+def test_bad_magic_raises():
+    with pytest.raises(ImageError):
+        decode_image(b"GIF89a....")
+
+
+# ---------------------------------------------------------------------------
+# engine: exact roundtrip on clean renders (the oracle-parity property)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_render_recognize_exact(scale):
+    img = render_page(TXT, scale=scale)
+    res = recognize(img)
+    assert res["text"] == TXT
+    assert res["n_lines"] == 2
+    assert all(c == 100.0 for c in res["token_confs"])
+
+
+def test_every_glyph_roundtrips():
+    line = " ".join(sorted(FONT))
+    assert recognize(render_page(line, scale=3))["text"] == line
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet=sorted(set("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+                                   ".,:;!?()-+=/%#&*<>@$[]_'\" ")),
+               min_size=1, max_size=40))
+def test_random_charset_roundtrip(s):
+    # the "A" anchor pins the line's glyph frame: a line of ONLY short
+    # punctuation is scale-ambiguous (a lone ' is pixel-identical to a
+    # smaller !), which no recognizer can resolve
+    norm = normalize_to_charset("A " + s)
+    res = recognize(render_page(norm, scale=3))
+    assert res["text"] == norm
+
+
+def test_normalize_to_charset():
+    assert normalize_to_charset("Héllo,  world! 42") == "H LLO, WORLD! 42"
+    assert normalize_to_charset("\t\n  ") == ""
+
+
+# ---------------------------------------------------------------------------
+# preprocessing chain (reference ImagePreprocessor parity)
+# ---------------------------------------------------------------------------
+
+def test_chain_recovers_noise():
+    img = render_page(TXT, scale=4)
+    rng = np.random.RandomState(7)
+    noisy = img.copy()
+    m = rng.rand(*img.shape) < 0.02
+    noisy[m] = rng.choice([0, 255], m.sum())
+    res = ocr_image(noisy, engine="template")
+    assert res["text"] == TXT
+    assert res["confidence"] > 0.9
+
+
+@pytest.mark.parametrize("angle", [1.0, 2.5, -3.0, 4.0])
+def test_deskew_recovers_rotation(angle):
+    img = render_page(TXT, scale=4, margin=10)
+    rot = prep.rotate(img, angle)
+    est = prep.estimate_skew(rot)
+    assert abs(est + angle) < 0.5  # corrective angle ≈ -applied
+    res = ocr_image(rot, engine="template")
+    assert res["text"] == TXT
+
+
+def test_chain_recovers_shadow_gradient():
+    img = render_page(TXT, scale=4)
+    shade = np.linspace(0.45, 1.0, img.shape[1])[None, :]
+    shadow = (img.astype(np.float64) * shade).astype(np.uint8)
+    res = ocr_image(shadow, engine="template",
+                    techniques=("remove_shadows", "denoise", "deskew",
+                                "enhance_contrast", "binarize"))
+    assert res["text"] == TXT
+
+
+def test_chain_recovers_low_contrast():
+    img = render_page(TXT, scale=4)
+    low = (img.astype(np.float64) * 0.2 + 150).astype(np.uint8)
+    res = ocr_image(low, engine="template")
+    assert res["text"] == TXT
+
+
+def test_clahe_equalizes_gradient_but_respects_clip():
+    # a smooth ramp spreads toward the full range...
+    ramp = np.tile(np.linspace(100, 160, 200).astype(np.uint8), (80, 1))
+    out = prep.enhance_contrast(ramp)
+    assert (int(out.max()) - int(out.min())) > \
+        (int(ramp.max()) - int(ramp.min()))
+    # ...but a two-value histogram is protected by the clip limit
+    # (near-identity mapping — no noise over-amplification)
+    img = render_page("AB", scale=3)
+    low = (img.astype(np.float64) * 0.2 + 150).astype(np.uint8)
+    out2 = prep.enhance_contrast(low)
+    assert abs(int(out2.min()) - 150) < 30 and abs(int(out2.max()) - 201) < 30
+
+
+def test_binarize_is_binary_and_preserves_glyphs():
+    img = render_page("O O", scale=4)
+    b = prep.binarize(img)
+    assert set(np.unique(b)) <= {0, 255}
+    assert recognize(b)["text"] == "O O"
+
+
+def test_resize_band():
+    small = render_page("HI", scale=2)
+    assert prep.resize_for_ocr(small).shape[0] == 800
+    tall = np.zeros((2400, 100), dtype=np.uint8)
+    assert prep.resize_for_ocr(tall).shape[0] == 2000
+    mid = np.zeros((1000, 100), dtype=np.uint8)
+    assert prep.resize_for_ocr(mid).shape[0] == 1000
+
+
+def test_failing_technique_is_skipped():
+    # color input through the full chain must not raise even if a step
+    # fails (reference warning-not-error semantics)
+    rgb = np.dstack([render_page("OK", scale=3)] * 3)
+    out = prep.preprocess(rgb, techniques=("nonexistent", "binarize"))
+    assert out.ndim == 2
+
+
+def test_select_engine_heuristics():
+    # without external engines installed everything routes to 'template'
+    assert select_engine(np.zeros((50, 50), dtype=np.uint8)) == "template"
+    assert select_engine(np.zeros((1200, 1200), dtype=np.uint8)) == "template"
+    with pytest.raises(ValueError):
+        ocr_image(np.zeros((20, 20), dtype=np.uint8), engine="paddleocr")
+
+
+# ---------------------------------------------------------------------------
+# scanned-PDF fallback (S5 / P3)
+# ---------------------------------------------------------------------------
+
+def test_scanned_pdf_page_images_and_ocr():
+    pdf = build_scanned_pdf(["HELLO SCANNED WORLD 42", "SECOND PAGE HERE"])
+    pages = extract_page_images(pdf)
+    assert len(pages) == 2 and all(len(p) == 1 for p in pages)
+    text, conf, page_confs = ocr_pdf_bytes(pdf, preprocess=False)
+    assert text == "HELLO SCANNED WORLD 42\n\nSECOND PAGE HERE"
+    assert conf == 1.0 and page_confs == [1.0, 1.0]
+    # text layer is empty -> gate 'short'
+    joined, _spans, gate, n_pages = extract_pdf(pdf)
+    assert gate == "short" and n_pages == 2
+
+
+def test_extract_one_ocr_fallback(monkeypatch):
+    monkeypatch.setattr(extract_mod, "ocr_fallback", None)
+    rng = random.Random(11)
+    payload, expected = gen_scanned_pdf_payload(rng)
+    # without the hook: short text layer, empty text
+    rec = extract_mod.extract_one(payload)
+    assert rec["metadata"]["text_layer"] == "short"
+    assert rec["extracted_text"].strip() == ""  # '\n\n' page joins only
+    # with the hook: OCR text replaces it, engine confidence replaces 0.95
+    install_pdf_ocr_fallback()
+    rec = extract_mod.extract_one(payload)
+    assert rec["metadata"]["text_layer"] == "ocr"
+    assert rec["extracted_text"] == expected
+    assert 0.5 < rec["confidence"] <= 1.0
+    monkeypatch.setattr(extract_mod, "ocr_fallback", None)
+
+
+def test_text_layer_pdf_unaffected_by_fallback():
+    rng = random.Random(5)
+    from fixtures.gen import gen_pdf_payload
+    install_pdf_ocr_fallback()
+    try:
+        payload = gen_pdf_payload(rng)
+        rec = extract_mod.extract_one(payload)
+        assert rec["metadata"]["text_layer"] == "ok"
+        assert rec["confidence"] == 0.95
+    finally:
+        extract_mod.ocr_fallback = None
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+def test_ocr_images_operator(spark):
+    texts = ["HELLO WORLD", "SPARK 42", "OCR TIER"]
+    rows = []
+    for i, t in enumerate(texts):
+        buf = encode_pgm(render_page(t, scale=3)) if i % 2 == 0 \
+            else encode_bmp_gray(render_page(t, scale=3))
+        rows.append((i, bytearray(buf)))
+    rows.append((99, bytearray(b"not an image")))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = ocr_images(df, engine="template", preprocess=False) \
+        .orderBy("media_id").collect()
+    assert [r.text for r in out[:3]] == texts
+    assert all(r.status == "ok" and r.confidence == 1.0 for r in out[:3])
+    assert out[3].status == "error" and out[3].n_tokens == 0
+
+    # A6 aggregation
+    stats = token_confidence_stats(
+        ocr_images(df, engine="template", preprocess=False)) \
+        .orderBy("media_id").collect()
+    assert [r.n_tokens for r in stats] == [2, 2, 2]
+    assert all(r.token_conf_mean == 1.0 for r in stats)
+
+
+def test_pdf_ocr_pages_operator(spark):
+    pdf1 = build_scanned_pdf(["PAGE ONE", "PAGE TWO"])
+    pdf2 = build_scanned_pdf(["SOLO"])
+    df = spark.createDataFrame(
+        [(1, bytearray(pdf1)), (2, bytearray(pdf2)),
+         (3, bytearray(b"%PDF garbage"))],
+        "doc_id long, payload binary")
+    pages = pdf_ocr_pages(df, preprocess=False).orderBy(
+        "doc_id", "page_idx").collect()
+    assert [(r.doc_id, r.page_idx, r.text) for r in pages[:3]] == [
+        (1, 0, "PAGE ONE"), (1, 1, "PAGE TWO"), (2, 0, "SOLO")]
+    assert pages[3].status == "error"
+
+    # A7 aggregation
+    stats = page_confidence_stats(pdf_ocr_pages(df, preprocess=False)) \
+        .orderBy("doc_id").collect()
+    assert [(r.doc_id, r.n_pages, r.page_conf_mean) for r in stats] == [
+        (1, 2, 1.0), (2, 1, 1.0)]
+
+
+def test_ocr_roundtrip_operator(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world, again!"), (1, None), (2, "¡señor único!"),
+         (3, "x" * 500)],
+        "doc_id long, text string")
+    out = ocr_roundtrip(df).orderBy("doc_id").collect()
+    assert out[0].ocr_text == "HELLO WORLD, AGAIN!"
+    assert out[0].n_tokens == 3 and out[0].confidence == 1.0
+    assert out[1].ocr_text == "" and out[1].confidence == 0.0
+    # non-ASCII mapped to spaces then collapsed
+    assert out[2].ocr_text == "SE OR NICO!"
+    assert out[3].ocr_text == "X" * 64
