@@ -39,6 +39,14 @@ AUDIT = [
      "populated by a single eager pass before the join runs"),
     ("cosine_topk", "narrow dot-product map + TakeOrdered"),
     ("summary_stats", "scalar agg: partial+final, no data shuffle"),
+    ("ocr_roundtrip",
+     "OCR tier: scan -> round-robin exchange (single-row-group sandbox "
+     "parquet; dropped on a production table) -> ONE MapInPandas doing "
+     "render+recognize — map-only, no data shuffle, raster bytes never "
+     "reach the JVM"),
+    ("ocr_summary",
+     "A6-shape aggregate over the OCR kernel output: partial+final "
+     "hash agg above the same map-only kernel"),
 ]
 
 
