@@ -204,6 +204,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_neardup_multiband"] = lambda s, d: S.embedding_neardup_pairs(
         _t(s, d, "embeddings"), threshold=0.15, n_bits=6, n_bands=2)
 
+    # IVF ANN: deterministic seed centroids (a k-means training job
+    # supplies them in production; operators identical), JVM-side argmax
+    # assignment, nprobe-pruned probe — the partition-pruning scale path
+    def _ivf_assignments(s: SparkSession, d: str) -> DataFrame:
+        emb = _t(s, d, "embeddings")
+        return S.ivf_assign(emb, S.seed_centroids(emb)).select("vec_id", "cell")
+
+    def _ivf_topk(s: SparkSession, d: str) -> DataFrame:
+        emb = _t(s, d, "embeddings")
+        return S.ivf_topk(emb, _query_vec(s, d), S.seed_centroids(emb),
+                          nprobe=4, k=10)
+
+    q["ivf_assignments"] = _ivf_assignments
+    q["ivf_topk"] = _ivf_topk
+
     # ---- multimodal (binary payload + typed metadata; deterministic
     # fake codec — real codecs plug into the same registry) ----
     from advanced_text_extraction_spark.multimodal import media as M
@@ -666,6 +681,60 @@ def oracle_sql() -> dict[str, str]:
                round(dot / (sqrt(na) * sqrt(nb) + 1e-12), 6) AS cos_sim
         FROM dots
         WHERE round(dot / (sqrt(na) * sqrt(nb) + 1e-12), 6) >= 0.15"""
+
+    # IVF: centroid scores via i-aligned unnest joins (same algebra as the
+    # cosine oracle); assignment = row_number over (score DESC, cell) —
+    # scores rounded to 6dp in BOTH engines so the argmax is bit-stable
+    _IVF_BASE = """
+        WITH cents AS (
+            SELECT vec_id AS cell, embedding AS cvec
+            FROM embeddings WHERE vec_id < 16),
+        cv AS (SELECT cell, CAST(unnest(cvec) AS DOUBLE) AS c,
+                      generate_subscripts(cvec, 1) AS i FROM cents),
+        cn AS (SELECT cell, sqrt(sum(c * c)) AS cnorm FROM cv GROUP BY cell),
+        ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings),
+        en AS (SELECT vec_id, sqrt(sum(v * v)) AS enorm
+               FROM ev GROUP BY vec_id),
+        scores AS (
+            SELECT ev.vec_id, cv.cell,
+                   round(sum(v * c) / (en.enorm * cn.cnorm + 1e-12), 6)
+                       AS score
+            FROM ev JOIN cv USING (i)
+            JOIN en ON en.vec_id = ev.vec_id
+            JOIN cn ON cn.cell = cv.cell
+            GROUP BY ev.vec_id, cv.cell, en.enorm, cn.cnorm),
+        assign AS (
+            SELECT vec_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+            FROM scores)"""
+
+    o["ivf_assignments"] = _IVF_BASE + """
+        SELECT vec_id, CAST(cell AS INT) AS cell FROM assign WHERE rn = 1"""
+
+    o["ivf_topk"] = _IVF_BASE + """,
+        qprobe AS (
+            SELECT cell FROM scores WHERE vec_id = 0
+            ORDER BY score DESC, cell LIMIT 4),
+        cand AS (
+            SELECT a.vec_id, a.cell
+            FROM (SELECT vec_id, cell FROM assign WHERE rn = 1) a
+            JOIN qprobe USING (cell)),
+        q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings WHERE vec_id = 0),
+        qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM q),
+        final AS (
+            SELECT cand.vec_id, cand.cell,
+                   round(sum(v * qv) / (en.enorm * qn.qnorm + 1e-12), 6)
+                       AS cos_sim
+            FROM cand JOIN ev ON ev.vec_id = cand.vec_id
+            JOIN q USING (i)
+            JOIN en ON en.vec_id = cand.vec_id, qn
+            GROUP BY cand.vec_id, cand.cell, en.enorm, qn.qnorm)
+        SELECT vec_id, CAST(cell AS INT) AS cell, cos_sim
+        FROM final ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
     # multimodal: the fake codec's pixels/samples are pure arithmetic in
     # (media_id, position), so the oracle recomputes them from formula —

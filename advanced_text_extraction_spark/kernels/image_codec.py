@@ -10,12 +10,14 @@ container without imaging libraries:
 - PGM/PPM (P2/P5/P3/P6, the netpbm family) — text and binary variants
 - BMP (BITMAPINFOHEADER; 8-bit paletted and 24-bit BGR, bottom-up or
   top-down rows, 4-byte row padding)
+- PNG (baseline: stdlib zlib inflate + numpy scanline unfiltering; color
+  types 0/2/3/4/6 at bit depth 8, filters 0-4)
 - raw gray buffers (width*height bytes — the shape of a FlateDecoded
   /DeviceGray PDF image XObject)
 - the repo's FIMG fake container (multimodal/media.py) for synth tables
 
-Compressed formats (PNG/JPEG) route to an import-guarded real-codec hook,
-same pattern as multimodal/media.py:_decode_real_image.
+JPEG (the one format needing a DCT codec) routes to an import-guarded
+real-codec hook, same pattern as multimodal/media.py:_decode_real_image.
 
 All decoders return ``np.ndarray`` of dtype uint8 — ``(h, w)`` grayscale
 or ``(h, w, 3)`` RGB — matching what the preprocessing kernel consumes.
@@ -25,6 +27,7 @@ from __future__ import annotations
 
 import re
 import struct
+import zlib
 
 import numpy as np
 
@@ -161,6 +164,147 @@ def decode_raw_gray(buf: bytes, width: int, height: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# PNG (from scratch: stdlib zlib inflate + numpy scanline unfiltering)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(buf: bytes):
+    i = 8
+    while i + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, i)
+        ctype = buf[i + 4 : i + 8]
+        data = buf[i + 8 : i + 8 + length]
+        yield ctype, data
+        i += 12 + length
+        if ctype == b"IEND":
+            break
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Baseline PNG: bit depth 8, color types 0/2/3/4/6, no interlace.
+    Filters 0-2 (none/sub/up) decode vectorized; 3/4 (average/paeth) fall
+    back to a per-pixel loop on those scanlines only."""
+    if buf[:8] != _PNG_SIG:
+        raise ImageError("not a PNG payload")
+    w = h = None
+    bitdepth = colortype = interlace = 0
+    idat = bytearray()
+    palette: np.ndarray | None = None
+    for ctype, data in _png_chunks(buf):
+        if ctype == b"IHDR":
+            w, h, bitdepth, colortype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+    if w is None:
+        raise ImageError("PNG missing IHDR")
+    if bitdepth != 8 or interlace != 0:
+        raise ImageError(
+            f"unsupported PNG (bitdepth {bitdepth}, interlace {interlace})")
+    nchan = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
+    if nchan is None:
+        raise ImageError(f"unsupported PNG color type {colortype}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ImageError(f"PNG inflate failed: {exc}") from exc
+    stride = w * nchan
+    if len(raw) < h * (stride + 1):
+        raise ImageError("truncated PNG pixel data")
+    lines = np.frombuffer(raw, dtype=np.uint8,
+                          count=h * (stride + 1)).reshape(h, stride + 1)
+    filters = lines[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = nchan
+    for y in range(h):
+        f = int(filters[y])
+        cur = lines[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride,
+                                                              dtype=np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # sub: prefix sum over same-channel strides
+            g = cur.reshape(w, bpp)
+            rec = np.cumsum(g, axis=0).reshape(stride)
+        elif f == 2:  # up
+            rec = cur + prev
+        elif f in (3, 4):  # average / paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if f == 3:
+                    rec[x] = cur[x] + ((a + b) >> 1)
+                else:
+                    c = int(out[y - 1, x - bpp]) if (y and x >= bpp) else 0
+                    rec[x] = cur[x] + _paeth(a, b, c)
+                rec[x] &= 0xFF
+        else:
+            raise ImageError(f"bad PNG filter {f}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    px = out.reshape(h, w, nchan)
+    if colortype == 3:
+        if palette is None:
+            raise ImageError("paletted PNG missing PLTE")
+        px = palette[px[:, :, 0]]
+        nchan = 3
+    elif colortype == 4:  # gray+alpha -> gray
+        px = px[:, :, :1]
+        nchan = 1
+    elif colortype == 6:  # RGBA -> RGB
+        px = px[:, :, :3]
+        nchan = 3
+    if nchan == 1:
+        return np.ascontiguousarray(px[:, :, 0])
+    if (px[..., 0] == px[..., 1]).all() and (px[..., 1] == px[..., 2]).all():
+        return np.ascontiguousarray(px[..., 0])
+    return np.ascontiguousarray(px)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def encode_png_gray(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Grayscale 8-bit PNG encoder (fixture side). ``filter_type`` 0/1/2
+    lets tests exercise the unfilter paths."""
+    if arr.ndim != 2:
+        raise ImageError("encode_png_gray wants a 2-D gray array")
+    h, w = arr.shape
+    a = arr.astype(np.uint8)
+    rows = []
+    for y in range(h):
+        if filter_type == 0:
+            rows.append(bytes([0]) + a[y].tobytes())
+        elif filter_type == 1:
+            d = np.diff(a[y].astype(np.int16), prepend=0) & 0xFF
+            rows.append(bytes([1]) + d.astype(np.uint8).tobytes())
+        elif filter_type == 2:
+            prev = a[y - 1].astype(np.int16) if y else np.zeros(w, np.int16)
+            d = (a[y].astype(np.int16) - prev) & 0xFF
+            rows.append(bytes([2]) + d.astype(np.uint8).tobytes())
+        else:
+            raise ImageError(f"encoder filter {filter_type} unsupported")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + _png_chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -186,6 +330,8 @@ def decode_image(buf: bytes) -> np.ndarray:
     if buf[:4] == b"FIMG":
         w, h = struct.unpack(">HH", buf[4:8])
         return decode_raw_gray(buf[8:], w, h)
-    if buf[:8] == b"\x89PNG\r\n\x1a\n" or buf[:3] == b"\xff\xd8\xff":
+    if buf[:8] == _PNG_SIG:
+        return decode_png(buf)
+    if buf[:3] == b"\xff\xd8\xff":  # JPEG needs a DCT codec
         return _decode_real(buf)
     raise ImageError(f"unrecognized image magic {buf[:4]!r}")

@@ -52,6 +52,66 @@ def test_bad_magic_raises():
         decode_image(b"GIF89a....")
 
 
+def test_png_roundtrip_all_encoder_filters():
+    from advanced_text_extraction_spark.kernels.image_codec import (
+        decode_png, encode_png_gray)
+    arr = ((np.arange(31 * 17) * 13) % 251).astype(np.uint8).reshape(17, 31)
+    for ft in (0, 1, 2):
+        assert (decode_png(encode_png_gray(arr, ft)) == arr).all()
+    assert (decode_image(encode_png_gray(arr)) == arr).all()
+
+
+def test_png_average_paeth_rgb_palette():
+    import struct
+    import zlib as _zlib
+    from advanced_text_extraction_spark.kernels.image_codec import (
+        _paeth, _png_chunk, _PNG_SIG, decode_png)
+    arr = ((np.arange(31 * 17) * 13) % 251).astype(np.uint8).reshape(17, 31)
+    h, w = arr.shape
+    # forward-filter with average (3) / paeth (4) and decode back
+    rows = []
+    for y in range(h):
+        f = 3 if y % 2 == 0 else 4
+        prev = arr[y - 1].astype(int) if y else np.zeros(w, int)
+        out = bytearray([f])
+        for x in range(w):
+            a = int(arr[y, x - 1]) if x else 0
+            b = int(prev[x])
+            c = int(arr[y - 1, x - 1]) if (y and x) else 0
+            pred = (a + b) // 2 if f == 3 else _paeth(a, b, c)
+            out.append((int(arr[y, x]) - pred) & 0xFF)
+        rows.append(bytes(out))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", _zlib.compress(b"".join(rows)))
+           + _png_chunk(b"IEND", b""))
+    assert (decode_png(png) == arr).all()
+    # RGB (color type 2) and palette (color type 3)
+    rgb = np.dstack([arr, arr // 2, arr // 3])
+    raw = b"".join(bytes([0]) + rgb[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", _zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    assert (decode_png(png) == rgb).all()
+    pal = np.array([[i, 255 - i, i // 2] for i in range(256)], dtype=np.uint8)
+    raw = b"".join(bytes([0]) + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"PLTE", pal.tobytes())
+           + _png_chunk(b"IDAT", _zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    assert (decode_png(png) == pal[arr]).all()
+
+
+def test_ocr_through_png():
+    from advanced_text_extraction_spark.kernels.image_codec import \
+        encode_png_gray
+    img = render_page("PNG PATH 99", scale=3)
+    assert recognize(decode_image(encode_png_gray(img)))["text"] \
+        == "PNG PATH 99"
+
+
 # ---------------------------------------------------------------------------
 # engine: exact roundtrip on clean renders (the oracle-parity property)
 # ---------------------------------------------------------------------------

@@ -161,3 +161,41 @@ def test_recommended_n_bits_scales_with_corpus():
     for n in (10 ** 6, 10 ** 9, 10 ** 12):
         bits = S.recommended_n_bits(n)
         assert n / (2 ** bits) <= 10_000
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (r2): deterministic seed centroids, argmax assignment, probe
+# ---------------------------------------------------------------------------
+
+def test_ivf_assign_centroids_to_themselves(vectors):
+    cents = S.seed_centroids(vectors, n_cells=8)
+    assert len(cents) == 8 and len(cents[0]) == 24
+    out = {r.vec_id: r.cell
+           for r in S.ivf_assign(vectors, cents).select("vec_id", "cell")
+           .collect()}
+    # a centroid's own vector scores cosine 1.0 with itself -> its own cell
+    for c in range(8):
+        assert out[c] == c
+    assert set(out.values()) <= set(range(8))
+
+
+def test_ivf_full_probe_matches_brute_force(vectors):
+    cents = S.seed_centroids(vectors, n_cells=8)
+    query = cents[3]
+    exact = [(r.vec_id, r.cos_sim)
+             for r in S.cosine_topk(vectors, query, k=10).collect()]
+    full_probe = [(r.vec_id, r.cos_sim)
+                  for r in S.ivf_topk(vectors, query, cents, nprobe=8,
+                                      k=10).collect()]
+    assert full_probe == exact  # probing every cell = exact search
+
+
+def test_ivf_narrow_probe_is_subset_and_hits_query_cell(vectors):
+    cents = S.seed_centroids(vectors, n_cells=8)
+    query = cents[3]
+    narrow = S.ivf_topk(vectors, query, cents, nprobe=2, k=10).collect()
+    assert all(r.cell in {c for r2 in narrow for c in [r2.cell]}
+               for r in narrow)  # only probed cells appear
+    assert len({r.cell for r in narrow}) <= 2
+    # the query's own centroid cell is always probed first -> vec 3 found
+    assert narrow[0].vec_id == 3 and narrow[0].cos_sim == 1.0
