@@ -111,3 +111,127 @@ def start_windowed_counts(spark: SparkSession, input_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: conversation sessionization
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), True),
+    T.StructField("n_turns", T.LongType(), True),
+    T.StructField("n_chars", T.LongType(), True),
+    T.StructField("first_ts", T.TimestampType(), True),
+    T.StructField("last_ts", T.TimestampType(), True),
+    T.StructField("closed", T.BooleanType(), True),
+])
+
+# state rides as epoch-microsecond ints (timestamp columns are not
+# supported in the state schema)
+SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("n_turns", T.LongType(), True),
+    T.StructField("n_chars", T.LongType(), True),
+    T.StructField("first_us", T.LongType(), True),
+    T.StructField("last_us", T.LongType(), True),
+])
+
+
+def sessionize_conversations(stream: DataFrame,
+                             gap_ms: int = 10 * 60 * 1000,
+                             emit_progress: bool = False) -> DataFrame:
+    """Arbitrary-stateful streaming (the operator class Spark's built-ins
+    can't express): assemble one session row per conversation, closing it
+    when no turn arrives within ``gap_ms`` of event time.
+
+    ``applyInPandasWithState`` + event-time timeout: per-conv state holds
+    (n_turns, n_chars, first/last event time); each trigger emits an open
+    progress row (update mode), and the watermark passing last_ts+gap
+    fires the timeout that emits the final ``closed=true`` row and drops
+    the state. State is bounded by the number of live conversations, and
+    the checkpoint persists it across restarts (the streaming analog of
+    the batch job's lineage-based resume).
+
+    ``emit_progress=False`` (production): append mode, ONE closed row per
+    session on timeout — works with recovering sinks (parquet).
+    ``emit_progress=True``: update mode, also emits an open progress row
+    per conversation per trigger (memory-sink inspection; the memory sink
+    cannot recover a checkpoint, so single-run use only).
+    """
+    import pandas as pd  # noqa: F401 (worker-side import)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        from datetime import datetime, timezone
+
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n_turns, n_chars, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "conv_id": conv_id, "n_turns": n_turns, "n_chars": n_chars,
+                "first_ts": datetime.fromtimestamp(first_us / 1e6,
+                                                   tz=timezone.utc),
+                "last_ts": datetime.fromtimestamp(last_us / 1e6,
+                                                  tz=timezone.utc),
+                "closed": True,
+            }])
+            return
+        n_turns = n_chars = 0
+        first_us = last_us = None
+        if state.exists:
+            n_turns, n_chars, first_us, last_us = state.get
+        for pdf in pdfs:
+            # robust to pandas datetime64[ns] vs [us] storage
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].fillna("").str.len().sum())
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n_turns, n_chars, first_us, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        if emit_progress:
+            from datetime import datetime, timezone
+            yield pd.DataFrame([{
+                "conv_id": conv_id, "n_turns": n_turns, "n_chars": n_chars,
+                "first_ts": datetime.fromtimestamp(first_us / 1e6,
+                                                   tz=timezone.utc),
+                "last_ts": datetime.fromtimestamp(last_us / 1e6,
+                                                  tz=timezone.utc),
+                "closed": False,
+            }])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.withWatermark("ts", f"{gap_ms // 1000} seconds")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn, SESSION_OUTPUT_SCHEMA, SESSION_STATE_SCHEMA,
+            "update" if emit_progress else "append",
+            GroupStateTimeout.EventTimeTimeout)
+    )
+
+
+def start_sessionizer(spark: SparkSession, input_path: str,
+                      output_path: str, checkpoint_path: str,
+                      gap_ms: int = 10 * 60 * 1000,
+                      available_now: bool = True):
+    """Closed-session rows to a parquet sink (append mode). Run it twice
+    against the same checkpoint with new files in between: open sessions
+    survive the restart via the state store, and conversations whose gap
+    elapsed (watermark advanced past last_ts+gap) emit their closed=true
+    row on the second run — the test surface for state recovery +
+    event-time timeout."""
+    sessions = sessionize_conversations(
+        read_transcript_stream(spark, input_path), gap_ms,
+        emit_progress=False)
+    writer = (
+        sessions.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

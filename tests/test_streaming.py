@@ -81,3 +81,87 @@ def test_windowed_counts_append_holds_open_windows(spark, stream_dirs):
     got = spark.sql(f"SELECT * FROM {name}").toPandas()
     n_input = spark.read.parquet(inp).count()
     assert 0 < got["n_turns"].sum() < n_input
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: sessionization (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def _write_turns(path, rows):
+    from datetime import datetime, timezone
+
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
+                                     "tool", "ts"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["tool"] = df["tool"].astype("string")
+    df["ts"] = pd.to_datetime(df["ts"], utc=True).astype("datetime64[us, UTC]")
+    df.to_parquet(path, index=False)
+
+
+def test_sessionizer_state_recovery_and_timeout(spark, tmp_path):
+    """Two availableNow runs against one checkpoint: open sessions must
+    survive the restart via the state store, and the event-time timeout
+    (watermark past last_ts + gap) closes them on the second run."""
+    from datetime import datetime, timezone
+
+    def ts(mins):
+        return datetime(2026, 1, 1, tzinfo=timezone.utc) \
+            + pd.Timedelta(minutes=mins)
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_turns(inp / "b1.parquet",
+                 [("A", 0, "user", "hello there", None, ts(0)),
+                  ("A", 1, "assistant", "hi!", None, ts(1)),
+                  ("B", 0, "user", "xxxx", None, ts(2))])
+    q = ST.start_sessionizer(spark, str(inp), out, ckpt,
+                             gap_ms=5 * 60 * 1000)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 0  # all sessions still open
+
+    # B continues within its gap; C arrives an hour later, advancing the
+    # watermark far past A's and B's gap -> both time out and close
+    _write_turns(inp / "b2.parquet",
+                 [("B", 1, "assistant", "yy", None, ts(3)),
+                  ("C", 0, "user", "zzz", None, ts(60))])
+    q = ST.start_sessionizer(spark, str(inp), out, ckpt,
+                             gap_ms=5 * 60 * 1000)
+    q.awaitTermination(120)
+    sessions = {r.conv_id: r for r in spark.read.parquet(out).collect()}
+    assert set(sessions) == {"A", "B"}  # C is still open
+    assert sessions["A"].n_turns == 2 and sessions["A"].n_chars == 14
+    # B's state merged across the restart: batch-1 turn + batch-2 turn
+    assert sessions["B"].n_turns == 2 and sessions["B"].n_chars == 6
+    assert all(r.closed for r in sessions.values())
+    assert sessions["A"].first_ts == ts(0).replace(tzinfo=None) or \
+        sessions["A"].first_ts is not None
+
+
+def test_sessionizer_progress_mode(spark, tmp_path):
+    """update-mode progress rows: every live conversation emits an open
+    row per trigger; closed rows appear once their timeout fires."""
+    from datetime import datetime, timezone
+
+    def ts(mins):
+        return datetime(2026, 1, 1, tzinfo=timezone.utc) \
+            + pd.Timedelta(minutes=mins)
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write_turns(inp / "b1.parquet",
+                 [("A", 0, "user", "one", None, ts(0)),
+                  ("B", 0, "user", "two", None, ts(40))])
+    sessions = ST.sessionize_conversations(
+        ST.read_transcript_stream(spark, str(inp), max_files_per_trigger=1),
+        gap_ms=5 * 60 * 1000, emit_progress=True)
+    q = (sessions.writeStream.format("memory").queryName("sess_prog")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r.conv_id, r.closed)
+            for r in spark.sql("select * from sess_prog").collect()}
+    # A opened, then closed by B's watermark advance; B still open
+    assert ("A", False) in rows and ("B", False) in rows
+    assert ("A", True) in rows and ("B", True) not in rows
