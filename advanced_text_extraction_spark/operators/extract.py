@@ -172,7 +172,8 @@ def _norm_key(key: tuple) -> tuple:
 
 
 def _make_kernel(dedupe_keys: tuple[str, ...] | None,
-                 stats_acc=None, bucket_col: str = "part_bucket"):
+                 stats_acc=None, bucket_col: str = "part_bucket",
+                 ocr_fallback_engine: str | None = None):
     """Build the mapInPandas kernel, optionally deduplicating on
     ``dedupe_keys`` WITHIN the partition (first copy wins).
 
@@ -190,6 +191,14 @@ def _make_kernel(dedupe_keys: tuple[str, ...] | None,
     the lineage source, replacing any read-back of the written table."""
 
     def _extract_batches(batches):
+        # Arm the P3 OCR hook IN THIS PROCESS: the kernel runs in Spark's
+        # Python workers, which import this module fresh — a driver-side
+        # install_pdf_ocr_fallback() call would only set the driver's
+        # module global. The engine name is a plain string, so the closure
+        # stays picklable and each worker installs once (module state).
+        if ocr_fallback_engine is not None and ocr_fallback is None:
+            from .ocr import install_pdf_ocr_fallback
+            install_pdf_ocr_fallback(engine=ocr_fallback_engine)
         seen: set | None = set() if dedupe_keys else None
         for pdf in batches:
             if dedupe_keys:
@@ -229,7 +238,8 @@ def _make_kernel(dedupe_keys: tuple[str, ...] | None,
 
 def extract(df: DataFrame,
             dedupe_keys: tuple[str, ...] | None = None,
-            stats_acc=None, bucket_col: str = "part_bucket") -> DataFrame:
+            stats_acc=None, bucket_col: str = "part_bucket",
+            ocr_fallback_engine: str | None = None) -> DataFrame:
     """Apply the extraction dispatch over a transcripts DataFrame.
 
     The payload column must be named ``text``. All input columns are
@@ -238,8 +248,12 @@ def extract(df: DataFrame,
     ``dedupe_keys`` enables partition-local dedupe (see _make_kernel —
     only exact when copies are co-located by the upstream exchange).
     ``stats_acc`` (see :func:`new_stats_accumulator`) collects per-bucket
-    lineage stats as a side output of the extraction pass."""
-    return df.mapInPandas(_make_kernel(dedupe_keys, stats_acc, bucket_col),
+    lineage stats as a side output of the extraction pass.
+    ``ocr_fallback_engine`` (e.g. ``'auto'``/``'template'``) arms the P3
+    scanned-PDF OCR fallback inside each Python worker (SPEC §4/§4c) —
+    the worker-safe form of ``operators.ocr.install_pdf_ocr_fallback``."""
+    return df.mapInPandas(_make_kernel(dedupe_keys, stats_acc, bucket_col,
+                                       ocr_fallback_engine),
                           schema=output_schema(df.schema))
 
 

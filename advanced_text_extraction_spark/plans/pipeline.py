@@ -90,6 +90,7 @@ def run_extract_job(
     salt: int = DEFAULT_SALT,
     resume: bool = True,
     only_buckets: list[int] | None = None,
+    ocr_fallback_engine: str | None = "auto",
 ) -> RunStats:
     """End-to-end extraction with lineage + idempotent resume.
 
@@ -121,7 +122,8 @@ def run_extract_job(
     # re-store the whole input corpus: double the parquet encode CPU and
     # write volume for a column every consumer already has upstream
     extracted = extract(df, dedupe_keys=("conv_id", "turn_idx"),
-                        stats_acc=stats_acc) \
+                        stats_acc=stats_acc,
+                        ocr_fallback_engine=ocr_fallback_engine) \
         .drop("text") \
         .sortWithinPartitions("part_bucket", "conv_id", "turn_idx")
     catalog.write_extracted(extracted, out_root)

@@ -58,24 +58,35 @@ def bucket_row_counts(root: str) -> dict[int, int]:
     n_files scales with bucket count × task count, not data size. This is
     the authoritative ``output_rows`` source for lineage (VERDICT r1 #4:
     lineage must not re-scan the table it just wrote). On Iceberg the
-    equivalent is snapshot summary / manifest stats (local FS path here,
-    same caveat as completed_buckets)."""
+    equivalent is snapshot summary / manifest stats.
+
+    Filesystem access goes through ``pyarrow.fs.FileSystem.from_uri`` so
+    the same code reads footers on ``file://``, ``s3://``, ``hdfs://`` …
+    warehouses (r1 flagged the old ``os.listdir`` as local-FS-only)."""
     import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
 
     base = extracted_path(root)
+    try:
+        filesystem, base_path = pafs.FileSystem.from_uri(base)
+    except Exception:  # scheme-less relative local path
+        filesystem = pafs.LocalFileSystem()
+        base_path = os.path.abspath(base)
     counts: dict[int, int] = {}
-    if not os.path.isdir(base):
-        return counts
-    for d in os.listdir(base):
-        if not d.startswith("part_bucket="):
+    selector = pafs.FileSelector(base_path, recursive=True,
+                                 allow_not_found=True)
+    for info in filesystem.get_file_info(selector):
+        if info.type != pafs.FileType.File \
+                or not info.path.endswith(".parquet"):
             continue
-        b = int(d.split("=", 1)[1])
-        n = 0
-        bdir = os.path.join(base, d)
-        for f in os.listdir(bdir):
-            if f.endswith(".parquet"):
-                n += pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
-        counts[b] = n
+        parts = [s for s in info.path.split("/")
+                 if s.startswith("part_bucket=")]
+        if not parts:
+            continue
+        b = int(parts[-1].split("=", 1)[1])
+        with filesystem.open_input_file(info.path) as f:
+            counts[b] = counts.get(b, 0) + pq.ParquetFile(f) \
+                .metadata.num_rows
     return counts
 
 

@@ -28,6 +28,13 @@ DEFAULT_CONFIG: dict[str, dict[str, Any]] = {
         "confidence_threshold": 0.5,   # text_extractor.py:784 (P6)
         "max_payload_chars": 2_000_000,
     },
+    "ocr": {
+        # reference ocr.default_engine analog (text_extractor.py:782):
+        # engine used by the scanned-PDF P3 fallback; 'auto' applies the
+        # size heuristics, 'none' disables the fallback
+        "fallback_engine": "auto",
+        "preprocess": True,            # text_extractor.py:783
+    },
     "warehouse": {
         "path": "warehouse",           # database.path analog
     },

@@ -421,7 +421,12 @@ def write_bench_md(scaling: dict) -> None:
         f"**{scaling['hw_normalized']}** — the raw value divided by this "
         f"host's busy-loop 4→16 ceiling of {scaling['hw_ceiling']} "
         f"(even a perfectly-scaling job cannot exceed the ceiling on "
-        f"16-physical-core + SMT hardware; calibration table above)",
+        f"16-physical-core + SMT hardware; calibration table above)"
+        + (" — a value slightly above 1.0 means the pooled minima now "
+           "saturate the busy-loop ceiling estimate; both are noisy "
+           "minimum-estimators, so this is measurement coincidence, not "
+           "super-linear scaling — the RAW value is the binding number"
+           if scaling["hw_normalized"] > 1.0 else ""),
         f"- resume: re-running the completed job skips all "
         f"{scaling.get('resume_buckets_skipped', '?')} buckets via the "
         f"lineage probe in {scaling.get('resume_noop_sec', '?')} s "

@@ -35,6 +35,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="spark.sql.shuffle.partitions; size to the DATA "
                          "(2-3x total cores at the data's scale), not the "
                          "cluster — oversized tasks sort/spill superlinearly")
+    ap.add_argument("--ocr-fallback", default=None,
+                    help="OCR engine for the scanned-PDF P3 fallback "
+                         "(default config ocr.fallback_engine, 'auto'); "
+                         "'none' disables")
     ap.add_argument("--warmup", action="store_true",
                     help="start the Python UDF workers before the measured "
                          "job (steady-state benchmarking)")
@@ -52,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
     shuffle = (args.shuffle_partitions if args.shuffle_partitions is not None
                else job.get("shuffle_partitions"))
     resume = job.get("resume", True) and not args.no_resume
+    ocr_engine = (args.ocr_fallback if args.ocr_fallback is not None
+                  else cfg.get("ocr", {}).get("fallback_engine", "auto"))
+    if ocr_engine in ("none", ""):
+        ocr_engine = None
 
     spark = build_session(app_name="ate-extract", master=args.master,
                           shuffle_partitions=shuffle,
@@ -67,6 +75,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, df, output,
             n_buckets=n_buckets, salt=salt,
             resume=resume,
+            ocr_fallback_engine=ocr_engine,
         )
         print(json.dumps({
             "run_id": stats.run_id,

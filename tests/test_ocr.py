@@ -341,3 +341,55 @@ def test_ocr_roundtrip_operator(spark):
     # non-ASCII mapped to spaces then collapsed
     assert out[2].ocr_text == "SE OR NICO!"
     assert out[3].ocr_text == "X" * 64
+
+
+def test_ocr_fallback_arms_inside_spark_workers(spark):
+    """Regression: the P3 hook must arm in the Python WORKERS, not just
+    the driver — a driver-side install_pdf_ocr_fallback() sets only the
+    driver's module global, and workers import the module fresh. The
+    picklable ocr_fallback_engine spec re-installs per worker."""
+    rng = random.Random(23)
+    payload, expected = gen_scanned_pdf_payload(rng)
+    rows = [("c", 0, "user", payload, None, None),
+            ("c", 1, "user", "plain text turn", None, None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp").repartition(2)
+    from advanced_text_extraction_spark.operators.extract import extract
+
+    # unarmed: scanned PDF yields an (effectively) empty short text layer
+    out0 = {r.turn_idx: r for r in extract(df).collect()}
+    assert out0[0].metadata["text_layer"] == "short"
+    assert out0[0].extracted_text.strip() == ""
+    # armed via the worker-safe engine spec
+    out = {r.turn_idx: r
+           for r in extract(df, ocr_fallback_engine="template").collect()}
+    assert out[0].metadata["text_layer"] == "ocr"
+    assert out[0].extracted_text == expected
+    assert 0.5 < out[0].confidence <= 1.0
+    assert out[1].extracted_text == "plain text turn"
+
+
+def test_run_extract_job_ocr_fallback(spark, tmp_path):
+    """The flagship job arms the fallback by default (config
+    ocr.fallback_engine='auto')."""
+    import pandas as pd
+    from advanced_text_extraction_spark.plans.pipeline import run_extract_job
+
+    rng = random.Random(31)
+    payload, expected = gen_scanned_pdf_payload(rng)
+    pdf = pd.DataFrame(
+        [("c", 0, "user", payload, None,
+          pd.Timestamp("2026-01-01", tz="UTC"))],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["tool"] = pdf["tool"].astype("string")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us, UTC]")
+    inp = str(tmp_path / "in.parquet")
+    pdf.to_parquet(inp, index=False)
+    run_extract_job(spark, spark.read.parquet(inp), str(tmp_path / "wh"),
+                    n_buckets=2, salt=1)
+    out = spark.read.parquet(str(tmp_path / "wh") + "/extracted").collect()
+    assert len(out) == 1
+    assert out[0].metadata["text_layer"] == "ocr"
+    assert out[0].extracted_text == expected
