@@ -219,6 +219,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ivf_assignments"] = _ivf_assignments
     q["ivf_topk"] = _ivf_topk
 
+    # F8/F13 path functions + P1 extension dispatch over a synthesized
+    # ingest-manifest path column (object-store listings carry one even
+    # when payloads live in the table)
+    def _path_functions(s: SparkSession, d: str) -> DataFrame:
+        from advanced_text_extraction_spark.functions.paths import (
+            method_for_ext, path_ext, path_name, path_stem)
+
+        exts = ["TXT", "Html", "pdf", "docx", "XLSX", "md", "jpeg"]
+        ext_lit = F.element_at(
+            F.array(*[F.lit(e) for e in exts]),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("int") + 1)
+        path = F.concat(F.lit("/corpus/"), F.col("source"), F.lit("/doc_"),
+                        F.col("doc_id").cast("string"), F.lit("."), ext_lit)
+        e = path_ext(path)
+        return _t(s, d, "documents").select(
+            "doc_id", path.alias("path"), path_name(path).alias("name"),
+            path_stem(path).alias("stem"), e.alias("ext"),
+            method_for_ext(e).alias("method"))
+
+    q["path_functions"] = _path_functions
+
     # ---- multimodal (binary payload + typed metadata; deterministic
     # fake codec — real codecs plug into the same registry) ----
     from advanced_text_extraction_spark.multimodal import media as M
@@ -735,6 +756,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY cand.vec_id, cand.cell, en.enorm, qn.qnorm)
         SELECT vec_id, CAST(cell AS INT) AS cell, cos_sim
         FROM final ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+    o["path_functions"] = r"""
+        WITH p AS (
+            SELECT doc_id,
+                   '/corpus/' || source || '/doc_' ||
+                   CAST(doc_id AS VARCHAR) || '.' ||
+                   (['TXT','Html','pdf','docx','XLSX','md','jpeg'])
+                       [CAST(doc_id % 7 AS INT) + 1] AS path
+            FROM documents),
+        n AS (SELECT doc_id, path,
+                     regexp_extract(path, '([^/]*)$', 1) AS name FROM p),
+        x AS (SELECT *,
+                     lower(regexp_extract(name, '^.+\.([^.]+)$', 1)) AS ext,
+                     regexp_extract(name, '^(.+?)(?:\.[^.]+)?$', 1) AS stem
+              FROM n)
+        SELECT doc_id, path, name, stem, ext,
+               CASE WHEN ext IN ('png','jpg','jpeg','bmp','tiff','pgm',
+                                 'ppm') THEN 'ocr'
+                    WHEN ext = 'pdf' THEN 'pdf'
+                    WHEN ext = 'docx' THEN 'docx'
+                    WHEN ext IN ('xlsx','xls') THEN 'excel'
+                    WHEN ext IN ('pptx','ppt') THEN 'powerpoint'
+                    WHEN ext IN ('html','htm') THEN 'html'
+                    ELSE 'text' END AS method
+        FROM x"""
 
     # multimodal: the fake codec's pixels/samples are pure arithmetic in
     # (media_id, position), so the oracle recomputes them from formula —

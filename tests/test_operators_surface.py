@@ -199,3 +199,29 @@ def test_ivf_narrow_probe_is_subset_and_hits_query_cell(vectors):
     assert len({r.cell for r in narrow}) <= 2
     # the query's own centroid cell is always probed first -> vec 3 found
     assert narrow[0].vec_id == 3 and narrow[0].cos_sim == 1.0
+
+
+# ---------------------------------------------------------------------------
+# F8/F13 path functions (r2 — pathlib-parity column expressions)
+# ---------------------------------------------------------------------------
+
+def test_path_functions_pathlib_parity(spark):
+    from pathlib import PurePosixPath
+
+    from advanced_text_extraction_spark.functions import paths as P
+
+    cases = ["a/b/doc.TXT", "x.tar.gz", ".gitignore", "noext",
+             "a/.hidden.txt", "weird..txt", "s3://bkt/k/doc.PDF"]
+    df = spark.createDataFrame([(c,) for c in cases], "p string")
+    out = df.select("p", P.path_name("p").alias("n"),
+                    P.path_stem("p").alias("s"),
+                    P.path_ext("p").alias("e"),
+                    P.method_for_ext(P.path_ext("p")).alias("m")).collect()
+    for r in out:
+        pp = PurePosixPath(r.p)
+        assert r.n == pp.name
+        assert r.s == pp.stem
+        assert r.e == pp.suffix.lstrip(".").lower()
+    methods = {r.p: r.m for r in out}
+    assert methods["s3://bkt/k/doc.PDF"] == "pdf"
+    assert methods["a/b/doc.TXT"] == "text"
