@@ -247,14 +247,30 @@ def recognize(img: np.ndarray, ink_threshold: int = 128) -> dict:
 
     row_has_ink = ink.any(axis=1)
     line_bands = _runs(row_has_ink)
-    # merge bands separated by < 20% of the tallest band: internal blank
-    # rows (e.g. a line of '!'/'?' dots) split a band, while true line
-    # gaps are >= 3 rows vs a 7-row glyph height
+    # Merge bands whose gap is internal glyph blank space (e.g. the
+    # '!'/'?' dot row) rather than a true line gap. Two conditions:
+    # - gap <= 2.5/7 of the tallest band: internal blanks are <= 2 of
+    #   the 7 glyph rows, true line gaps are >= 3 (LINE_STRIDE 10 -
+    #   GLYPH_H 7), so the midpoint separates them at every scale —
+    #   including a page whose tallest line is punctuation-only (a
+    #   5-row '!' bar; tallest < 7 rows only SHRINKS the threshold).
+    #   The old 0.2x-with-strict-'<' rule hit exact equality there
+    #   (gap = 1 row = 0.2*5) and split the dot into its own line.
+    # - merged span <= 1.5x the tallest band: a glyph-internal merge
+    #   reassembles at most one glyph height (7/5 of a bar-only
+    #   tallest), while bridging two LINES spans >= 17/7 of tallest —
+    #   this keeps residual salt-and-pepper specks in the line gap
+    #   (survivors of denoise) from chain-gluing adjacent lines: a
+    #   speck may join the nearer line's band (harmless), but the
+    #   line-plus-speck band can never absorb the next line.
     if line_bands:
         tallest = max(b - a for a, b in line_bands)
+        gap_max = (2.5 / 7.0) * tallest
+        span_max = 1.5 * tallest
         merged = [line_bands[0]]
         for a, b in line_bands[1:]:
-            if a - merged[-1][1] < 0.2 * tallest:
+            if (a - merged[-1][1] <= gap_max
+                    and b - merged[-1][0] <= span_max):
                 merged[-1] = (merged[-1][0], b)
             else:
                 merged.append((a, b))

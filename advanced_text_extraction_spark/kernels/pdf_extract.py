@@ -119,11 +119,17 @@ def _page_content_streams(objs: dict[int, tuple[bytes, bytes | None]]) -> list[b
     for _num, head in _ordered_pages(objs):
         cm = _CONTENTS_RE.search(head)
         if cm is None:
-            raise PdfError("page without /Contents")
+            # /Contents is optional per the PDF spec (a blank page) — skip
+            # it, matching the oracle (oracle/extractor.py:_pdf_pages keeps
+            # only pages WITH a /Contents ref). Raising here would flip a
+            # 9-good-pages document into a whole-doc error row.
+            continue
         entry = objs.get(int(cm.group(1)))
         if entry is None or entry[1] is None:
             raise PdfError(f"missing /Contents stream object {cm.group(1).decode()}")
         streams.append(_decode_stream(entry[0], entry[1]))
+    if not streams:
+        raise PdfError("no page has /Contents")  # oracle: 'no pages'
     return streams
 
 

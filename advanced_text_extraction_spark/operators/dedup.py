@@ -87,10 +87,16 @@ def _signature(text: str | None, n_perms: int, k: int = 3,
     the f-string byte-for-byte), and each distinct shingle's n_perms
     digests are memoized in ``cache`` — natural corpora repeat shingles
     heavily across documents, and md5 is deterministic, so a partition-
-    scoped cache (one per Arrow kernel instance, bounded at 2^20
-    entries) removes the repeated hashing without touching semantics.
-    The per-perm min then reduces over cached tuples; Python str compare
-    on the hex digests is the same order the oracle's SQL min uses."""
+    scoped cache (one per Arrow kernel instance) removes the repeated
+    hashing without touching semantics. Cached values are the RAW
+    16-byte digests (lexicographic order over equal-length bytes equals
+    the order over their hex encodings — hex is a per-byte monotone
+    map — so the per-perm min over bytes is the same minimum the
+    oracle's SQL min picks over hex); only the n_perms winning digests
+    are hex-encoded per doc. The bound (2^17 entries ≈ tens of MB per
+    Python worker at 12 perms) keeps worst-case cache RSS × concurrent
+    workers well under executor memory — a 2^20 bound of hex-str tuples
+    measured ~1 GiB/worker, an OOM risk at local[16]+."""
     sh = set(_shingle_list(text, k))
     if not sh:
         return None
@@ -102,15 +108,15 @@ def _signature(text: str | None, n_perms: int, k: int = 3,
     for s in sh:
         d = cache.get(s)
         if d is None:
-            if len(cache) > (1 << 20):
+            if len(cache) > (1 << 17):
                 cache.clear()
             e = s.encode()
-            d = tuple(md5(pre + e).hexdigest() for pre in prefixes)
+            d = tuple(md5(pre + e).digest() for pre in prefixes)
             cache[s] = d
         rows.append(d)
     if len(rows) == 1:
-        return list(rows[0])
-    return list(map(min, zip(*rows)))
+        return [m.hex() for m in rows[0]]
+    return [m.hex() for m in map(min, zip(*rows))]
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
@@ -175,6 +181,10 @@ def lsh_band_keys(df: DataFrame, id_col: str, text_col: str,
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
 
 
+# last persisted band-keys DataFrame — see lsh_candidate_pairs docstring
+_last_band_keys: DataFrame | None = None
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         n_perms: int = 12, rows_per_band: int = 3) -> DataFrame:
     """LSH near-dup candidates: docs sharing any band key. The bucket
@@ -190,11 +200,24 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     localCheckpoint(): on a real cluster a lost cache block is recomputed
     from lineage, while a lost localCheckpoint block fails the job; at
     true 100 TB scale the equivalent is writing band keys to a durable
-    intermediate table and self-joining the re-read."""
+    intermediate table and self-joining the re-read.
+
+    The previous call's cached band-keys table is unpersisted on
+    re-entry (blocks for the RETURNED plan must outlive this function,
+    so eager unpersist isn't possible) — repeated calls in one session
+    then pin at most ONE band-keys table, not an unbounded accumulation
+    of block-manager entries."""
     from pyspark.storagelevel import StorageLevel
 
+    global _last_band_keys
+    if _last_band_keys is not None:
+        try:
+            _last_band_keys.unpersist()
+        except Exception:
+            pass  # session of the old handle may be gone
     keys = lsh_band_keys(df, id_col, text_col, n_perms, rows_per_band) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    _last_band_keys = keys
     keys.count()  # materialize ONCE before the join forks two readers
     a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")

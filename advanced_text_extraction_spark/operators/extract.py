@@ -102,13 +102,20 @@ def extract_one(payload: str | None) -> dict:
                 if gate == "short" and ocr_fallback is not None:
                     # reference P3: text layer too short → OCR the pages
                     # (text_extractor.py:501-507); engine-reported mean
-                    # confidence replaces the 0.95 constant (A6/A7)
-                    ocr_text, ocr_conf = ocr_fallback(payload_bytes)
-                    if len(ocr_text.strip()) > len(text.strip()):
-                        text, confidence = ocr_text, float(ocr_conf)
-                        spans = ([(0, 0, len(text), -1, -1)]
-                                 if text else [])
-                        meta["text_layer"] = "ocr"
+                    # confidence replaces the 0.95 constant (A6/A7).
+                    # OCR failure keeps the (valid) short text layer —
+                    # a fallback must never lose what it falls back FROM.
+                    try:
+                        ocr_text, ocr_conf = ocr_fallback(payload_bytes)
+                    except Exception as ocr_exc:
+                        meta["ocr_error"] = (str(ocr_exc)
+                                             or type(ocr_exc).__name__)
+                    else:
+                        if len(ocr_text.strip()) > len(text.strip()):
+                            text, confidence = ocr_text, float(ocr_conf)
+                            spans = ([(0, 0, len(text), -1, -1)]
+                                     if text else [])
+                            meta["text_layer"] = "ocr"
             except Exception as exc:  # malformed PDF → failure-as-data
                 status, err, text, spans = "error", str(exc) or type(exc).__name__, "", []
     elif content_type == "office":

@@ -137,6 +137,11 @@ def pdf_ocr_pages(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             rows = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                # Page rows buffer per doc: a failure on page k must not
+                # leave pages <k behind as 'ok' rows — a doc is either all
+                # its pages or ONE error row, so A7 never averages a
+                # partially-OCR'd doc as healthy.
+                doc_rows = []
                 try:
                     for p, images in enumerate(
                             extract_page_images(bytes(payload))):
@@ -147,12 +152,13 @@ def pdf_ocr_pages(df: DataFrame, id_col: str = "doc_id",
                                             preprocess=preprocess)
                             texts.append(res["text"])
                             confs.append(float(res["confidence"]))
-                        rows.append((int(did), p,
-                                     "\n".join(t for t in texts if t),
-                                     float(np.mean(confs)) if confs else 0.0,
-                                     "ok"))
+                        doc_rows.append((int(did), p,
+                                         "\n".join(t for t in texts if t),
+                                         float(np.mean(confs)) if confs else 0.0,
+                                         "ok"))
                 except Exception:
-                    rows.append((int(did), -1, "", 0.0, "error"))
+                    doc_rows = [(int(did), -1, "", 0.0, "error")]
+                rows.extend(doc_rows)
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               PDF_PAGE_OCR_SCHEMA.fields])
 

@@ -60,13 +60,23 @@ def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
 
 def sign_bucket(vec_col: str = "embedding", n_bits: int = 8,
                 offset: int = 0):
-    """Sign-LSH bucket id: bit d = (v[offset+d] >= 0), d in [0, n_bits).
-    ``offset`` selects which dimension window supplies the bits — bands
-    in a multi-band blocking scheme use disjoint windows."""
+    """Sign-LSH bucket id: bit d = (v[(offset+d) mod dim] >= 0), d in
+    [0, n_bits). ``offset`` selects which dimension window supplies the
+    bits — bands in a multi-band blocking scheme use disjoint windows.
+
+    Indices wrap modulo the embedding dimension, so any (n_bits, n_bands,
+    dim) combination is safe — Spark 4 runs ANSI mode by default, where a
+    raw out-of-range element_at fails the job. When a window wraps onto
+    dims an earlier band already used, the bands stop being independent
+    (recall degrades toward single-band) but blocking stays correct: the
+    exact cosine filter downstream decides membership. try_element_at
+    keeps a degenerate empty vector at bucket 0 instead of erroring."""
+    dim = F.greatest(F.size(F.col(vec_col)), F.lit(1))
     bucket = F.lit(0)
     for d in range(n_bits):
+        idx = F.pmod(F.lit(offset + d), dim) + F.lit(1)
         bucket = bucket + F.when(
-            F.element_at(F.col(vec_col), offset + d + 1) >= 0, F.lit(1 << d)
+            F.try_element_at(F.col(vec_col), idx) >= 0, F.lit(1 << d)
         ).otherwise(F.lit(0))
     return bucket
 

@@ -69,7 +69,22 @@ def bucket_row_counts(root: str) -> dict[int, int]:
     base = extracted_path(root)
     try:
         filesystem, base_path = pafs.FileSystem.from_uri(base)
-    except Exception:  # scheme-less relative local path
+    except Exception as exc:
+        # The local fallback is ONLY for scheme-less local paths (pyarrow
+        # rejects relative paths in from_uri). A path WITH a scheme that
+        # pyarrow can't mount (e.g. s3a:// — Hadoop's spelling; pyarrow
+        # only knows s3://) must NOT be silently probed as a local dir:
+        # that returns {} and quietly degrades lineage output_rows to the
+        # retry-inflatable accumulator count. Surface it instead.
+        if "://" in base:
+            import logging
+            logging.getLogger(__name__).warning(
+                "bucket_row_counts: pyarrow cannot mount %s (%s); "
+                "falling back to accumulator row counts for lineage — "
+                "map the warehouse scheme to a pyarrow filesystem "
+                "(s3a:// -> s3://) for footer-authoritative counts",
+                base, exc)
+            return {}
         filesystem = pafs.LocalFileSystem()
         base_path = os.path.abspath(base)
     counts: dict[int, int] = {}

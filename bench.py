@@ -324,7 +324,17 @@ def rescore_from_pool() -> dict:
                   "attempts": ATTEMPTS, "rows": 6000000,
                   "resume_noop_sec": 9.385,  # last recorded probe
                   "resume_buckets_skipped": 23}
+    if not os.path.exists(RUNS_LOG):
+        raise SystemExit(
+            f"no runs pool at {RUNS_LOG} — run `bench.py --scaling` or "
+            f"`--burst-4n/--burst-n` first")
     best = _pooled_best(result["rows"])
+    missing = [lb for lb in ("N", "4N") if lb not in best]
+    if missing:
+        raise SystemExit(
+            f"runs pool has no {'/'.join(missing)} runs for "
+            f"rows={result['rows']} — burst the missing level(s) or rerun "
+            f"--scaling (pool rows must match last_session.json's)")
     for label in ("N", "4N"):
         result[label] = {"master": best[label]["master"],
                          "wall_sec": best[label]["wall_sec"],

@@ -49,10 +49,20 @@ def main(argv: list[str] | None = None) -> int:
     from advanced_text_extraction_spark.sources.session import build_session
 
     cfg = load_config(args.config)
-    job = cfg["job"]
-    output = args.output or cfg["warehouse"]["path"]
-    n_buckets = args.n_buckets if args.n_buckets is not None else job["n_buckets"]
-    salt = args.salt if args.salt is not None else job["salt"]
+    # The merge is shallow by reference contract (a user section replaces
+    # the default section wholesale, text_extractor.py:799) — so every
+    # read falls back to the package default rather than [] - indexing,
+    # keeping a partial user section (e.g. {"job": {"n_buckets": 16}})
+    # runnable instead of a KeyError.
+    from advanced_text_extraction_spark.sources.config import DEFAULT_CONFIG
+    job = cfg.get("job", {})
+    job_d = DEFAULT_CONFIG["job"]
+    output = (args.output
+              or cfg.get("warehouse", {}).get(
+                  "path", DEFAULT_CONFIG["warehouse"]["path"]))
+    n_buckets = (args.n_buckets if args.n_buckets is not None
+                 else job.get("n_buckets", job_d["n_buckets"]))
+    salt = args.salt if args.salt is not None else job.get("salt", job_d["salt"])
     shuffle = (args.shuffle_partitions if args.shuffle_partitions is not None
                else job.get("shuffle_partitions"))
     resume = job.get("resume", True) and not args.no_resume

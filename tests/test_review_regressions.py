@@ -1,0 +1,173 @@
+"""Regression tests for the round-2 code-review findings: blank PDF
+pages, OCR-fallback failure containment, partial-doc OCR page rows,
+out-of-range sign-LSH windows, partial config sections, and the
+punctuation-only line-band merge."""
+
+from __future__ import annotations
+
+import base64
+import json
+import random
+import re
+
+import pytest
+
+from fixtures.gen import build_pdf, build_scanned_pdf
+from advanced_text_extraction_spark.kernels.ocr import (
+    recognize, render_page)
+from advanced_text_extraction_spark.kernels.pdf_extract import (
+    PdfError, extract_pdf)
+from advanced_text_extraction_spark.operators import extract as extract_mod
+from oracle.extractor import _extract_pdf as oracle_extract_pdf
+
+
+# ------------------------------------------------- blank pages (no /Contents)
+
+def _drop_contents(data: bytes, page_index: int) -> bytes:
+    """Remove the /Contents entry from the page_index-th /Type /Page dict
+    (a blank page — legal per PDF spec, /Contents is optional). Object
+    scanning in both engine and oracle ignores xref offsets, so the size
+    change is harmless."""
+    hits = [m for m in re.finditer(rb"/Type /Page /Parent[^>]*", data)]
+    head = hits[page_index].group(0)
+    patched = re.sub(rb"/Contents \d+ 0 R ", b"", head, count=1)
+    assert patched != head
+    return data.replace(head, patched, 1)
+
+
+def test_pdf_blank_page_skipped_not_fatal():
+    raw = build_pdf([["first page body text here"],
+                     ["second page body text here"]],
+                    random.Random(5), flate=False)
+    patched = _drop_contents(raw, 0)
+    text, _spans, _gate, _n = extract_pdf(patched)
+    assert "second page body text here" in text
+    assert "first page" not in text
+
+
+def test_pdf_blank_page_matches_oracle():
+    raw = build_pdf([["alpha beta gamma delta epsilon"],
+                     ["zeta eta theta iota kappa"]],
+                    random.Random(11), flate=False)
+    patched = _drop_contents(raw, 1)
+    engine_text = extract_pdf(patched)[0]
+    oracle_text = oracle_extract_pdf(patched)[0]
+    assert engine_text == oracle_text
+
+
+def test_pdf_all_pages_blank_is_error():
+    raw = build_pdf([["only page text"]], random.Random(7), flate=False)
+    patched = _drop_contents(raw, 0)
+    with pytest.raises(PdfError):
+        extract_pdf(patched)
+
+
+# ------------------------------------- OCR fallback failure keeps text layer
+
+def test_failing_ocr_fallback_keeps_short_text_layer():
+    short_pdf = build_pdf([["tiny"]], random.Random(3), flate=False)
+    payload = base64.b64encode(short_pdf).decode()
+
+    def exploding_fallback(pdf_bytes):
+        raise ValueError("no raster decodable")
+
+    prev = extract_mod.ocr_fallback
+    extract_mod.ocr_fallback = exploding_fallback
+    try:
+        row = extract_mod.extract_one(payload)
+    finally:
+        extract_mod.ocr_fallback = prev
+    assert row["status"] == "ok"
+    assert "tiny" in row["extracted_text"]
+    assert row["metadata"]["text_layer"] == "short"
+    assert "no raster decodable" in row["metadata"]["ocr_error"]
+
+
+# ----------------------------------- pdf_ocr_pages: no partial 'ok' doc rows
+
+def test_pdf_ocr_pages_failure_discards_partial_pages(spark):
+    from advanced_text_extraction_spark.operators.ocr import pdf_ocr_pages
+
+    data = build_scanned_pdf(["GOOD PAGE ONE", "BAD PAGE TWO"], scale=3)
+    # corrupt the SECOND image: claim a bogus width so decode_raw_gray
+    # sees len(raw) != w*h and raises mid-doc (after page 0 succeeded)
+    m = list(re.finditer(rb"/Subtype /Image /Width (\d+)", data))[1]
+    data = data[:m.start(1)] + b"99991" + data[m.end(1):]
+
+    df = spark.createDataFrame([(1, bytearray(data))], "doc_id long, payload binary")
+    rows = pdf_ocr_pages(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["status"] == "error"
+    assert rows[0]["page_idx"] == -1
+
+
+# --------------------------------------- sign-LSH windows beyond the vec dim
+
+def test_neardup_pairs_survive_bits_past_dim(spark):
+    from advanced_text_extraction_spark.operators.similarity import (
+        embedding_neardup_pairs)
+
+    vecs = [(1, [0.5, -0.2, 0.3, 0.9]),
+            (2, [0.5, -0.2, 0.3, 0.9]),
+            (3, [-0.5, 0.2, -0.3, -0.9])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    # 8 bits x 2 bands over a 4-dim vector: every index past 4 wraps
+    # modulo dim instead of raising under Spark 4's default ANSI mode
+    out = embedding_neardup_pairs(df, threshold=0.99, n_bits=8, n_bands=2)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+# ----------------------------------------------- partial config sections
+
+def test_partial_config_section_does_not_crash(tmp_path, monkeypatch):
+    import advanced_text_extraction_spark.plans.pipeline as pipeline
+    import advanced_text_extraction_spark.sources.session as session
+    import scripts.run_extract as run_extract
+
+    calls = {}
+
+    def fake_job(spark, df, output, **kw):
+        calls["output"] = output
+        calls.update(kw)
+        from types import SimpleNamespace
+        return SimpleNamespace(run_id="t", input_rows=0, buckets_done=0,
+                               buckets_skipped=0, wall_sec=0.0)
+
+    class _Read:
+        def parquet(self, p):
+            return "df"
+
+    class _Spark:
+        read = _Read()
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(pipeline, "run_extract_job", fake_job)
+    monkeypatch.setattr(session, "build_session", lambda **kw: _Spark())
+
+    cfg = tmp_path / "cfg.json"
+    # 'job' section present but PARTIAL: n_buckets only — salt and the
+    # rest must fall back to package defaults, not KeyError (the merge
+    # is a shallow section replace by reference contract)
+    cfg.write_text(json.dumps({"job": {"n_buckets": 7}, "warehouse": {}}))
+    rc = run_extract.main(["--input", str(tmp_path / "in"),
+                           "--config", str(cfg)])
+    assert rc == 0
+    assert calls["n_buckets"] == 7
+    assert calls["salt"] == 4           # package default survived
+    assert calls["output"] == "warehouse"
+
+
+# ------------------------------------------- punctuation-only line bands
+
+def test_punctuation_only_line_not_split():
+    for scale in (2, 3, 4):
+        res = recognize(render_page("!!!", scale=scale))
+        assert res["text"] == "!!!", (scale, res["text"])
+
+
+def test_two_punctuation_lines_stay_separate():
+    res = recognize(render_page("!!!\n!!!", scale=3))
+    assert res["text"] == "!!!\n!!!"
