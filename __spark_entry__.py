@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", 0.1)
     q["simhash32"] = lambda s, d: D.simhash32(
         _spread(_t(s, d, "documents")), "doc_id", "text")
+    q["dedup_clusters"] = lambda s, d: D.dedup_clusters(
+        _spread(_t(s, d, "documents")), "doc_id", "text")
 
     # ---- similarity search ----
     def _query_vec(s: SparkSession, d: str) -> list[float]:
@@ -567,6 +569,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM keys a JOIN keys b USING (band, band_key)
         WHERE a.doc_id < b.doc_id"""
+
+    # connected components as a recursive CTE: walk starts every node at
+    # its own id and propagates any reachable neighbor label; UNION
+    # (distinct) terminates the recursion, min per node = component min
+    o["dedup_clusters"] = _shingles.replace("WITH", "WITH RECURSIVE", 1) + """,
+        sig AS (
+            SELECT doc_id, perm, min(md5(concat_ws(':', perm, shingle))) AS minhash
+            FROM shin, UNNEST(generate_series(0, 11)) AS p(perm)
+            GROUP BY doc_id, perm),
+        keys AS (
+            SELECT doc_id, (perm // 3) AS band,
+                   md5(string_agg(minhash, ',' ORDER BY perm)) AS band_key
+            FROM sig GROUP BY doc_id, (perm // 3)),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM keys a JOIN keys b USING (band, band_key)
+            WHERE a.doc_id < b.doc_id),
+        sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        walk(id, comp) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.src, w.comp FROM sym s JOIN walk w ON w.id = s.dst)
+        SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id"""
 
     o["ngram_jaccard_pairs"] = _shingles + """,
         sizes AS (SELECT doc_id, count(*) AS sz FROM shin GROUP BY doc_id),

@@ -320,3 +320,76 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             yield pd.DataFrame({id_col: ids, "simhash": sims})
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def connected_components(edges: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list — (id, component)
+    with component = min id in the component. The cluster step that turns
+    near-dup candidate PAIRS into duplicate GROUPS (one keeper per group).
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (each round, a node takes the min label over itself and its
+    neighbors, then follows its label's label — the label-contraction
+    idea behind the published MapReduce star algorithms). Pointer
+    jumping halves the remaining diameter every round, so convergence is
+    O(log d) rounds; near-dup graphs are dense/cliquish (LSH bands link
+    most pair combinations), making 2-4 rounds typical. Each round is
+    two hash-keyed shuffles (neighbor groupBy + jump join) over the
+    EDGE list only — never all-pairs, never a collect of data rows; the
+    driver sees only the per-round changed-row COUNT (the convergence
+    probe). localCheckpoint truncates the iterative plan each round
+    (unbounded lineage growth makes Catalyst analysis itself the
+    bottleneck by ~iteration 20); on a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` so a
+    lost executor replays from durable storage instead of failing the
+    job."""
+    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")) \
+        .unionByName(
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.select(F.col("id").alias("dst"),
+                                   F.col("comp").alias("dcomp")), "dst")
+            .groupBy("src").agg(F.min("dcomp").alias("ncomp"))
+            .select(F.col("src").alias("id"), "ncomp")
+        )
+        stepped = (
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least(
+                F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+            ).alias("comp"))
+        )
+        jump = stepped.select(F.col("id").alias("comp"),
+                              F.col("comp").alias("jcomp"))
+        new = (stepped.join(jump, "comp", "left")
+               .select("id", F.coalesce("jcomp", F.col("comp")).alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.select("id", F.col("comp").alias("nc"))
+                   .join(labels.select("id", F.col("comp").alias("oc")), "id")
+                   .filter(F.col("nc") != F.col("oc")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", "comp")
+
+
+def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
+                   n_perms: int = 12, rows_per_band: int = 3) -> DataFrame:
+    """Duplicate clusters from the full near-dup chain: MinHash → LSH
+    band join → candidate pairs → connected components. Output is one
+    row per clustered doc — (doc_id, cluster_id) with cluster_id = min
+    doc id of the group (the keeper); docs in no near-dup pair are
+    absent (at corpus scale the clustered subset is orders of magnitude
+    smaller than the corpus, so downstream keeps `WHERE doc_id !=
+    cluster_id` as the tiny removal list)."""
+    pairs = lsh_candidate_pairs(df, id_col, text_col, n_perms,
+                                rows_per_band)
+    return (connected_components(pairs)
+            .select(F.col("id").alias("doc_id"),
+                    F.col("comp").alias("cluster_id")))

@@ -52,6 +52,7 @@ HEADLINE = [
     "simhash32",            # near-dup fingerprint
     "minhash_signatures",   # MinHash
     "lsh_candidate_pairs",  # LSH banding + self-join
+    "dedup_clusters",       # pairs -> connected-component dup groups
     "cosine_topk",          # brute-force ANN baseline
     "ann_lsh_bucket_topk",  # bucketed ANN scale path
     "extract_html_roundtrip",  # HTML kernel through the real operator

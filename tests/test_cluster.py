@@ -1,0 +1,51 @@
+"""connected_components / dedup_clusters (the pairs→groups step of the
+near-dup chain)."""
+
+from __future__ import annotations
+
+from advanced_text_extraction_spark.operators.dedup import (
+    connected_components, dedup_clusters)
+
+
+def _components(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {r["id"]: r["comp"]
+            for r in connected_components(df, **kw).collect()}
+
+
+def test_chain_and_isolated_pair(spark):
+    # a 12-node chain exercises pointer jumping (diameter >> typical
+    # near-dup cliques); the pair must stay its own component
+    edges = [(i, i + 1) for i in range(11)] + [(100, 101)]
+    comp = _components(spark, edges)
+    assert {comp[i] for i in range(12)} == {0}
+    assert comp[100] == comp[101] == 100
+    assert len(comp) == 14
+
+
+def test_clique_and_reversed_edges(spark):
+    # labels must flow against edge direction too
+    edges = [(5, 1), (5, 2), (5, 3), (9, 5)]
+    comp = _components(spark, edges)
+    assert set(comp.values()) == {1}
+
+
+def test_converges_within_log_iterations(spark):
+    # pointer jumping: a 32-node path needs ~log2(32)=5 rounds, not 32
+    edges = [(i, i + 1) for i in range(31)]
+    comp = _components(spark, edges, max_iter=8)
+    assert set(comp.values()) == {0}
+
+
+def test_dedup_clusters_groups_near_identical_docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    rows = [(1, base), (2, base), (3, base + " extra"),
+            (4, "completely different text about spark catalyst "
+                "optimizer plans and shuffle exchanges at scale")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(df, "doc_id", "text").collect()}
+    assert got[1] == got[2] == 1
+    assert got.get(3, 1) == 1  # shares most bands with 1/2
+    assert 4 not in got  # no near-dup pair → absent from cluster table
