@@ -230,10 +230,29 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def ngram_jaccard_pairs(shingles: DataFrame, id_col: str,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact shingle-set Jaccard over pairs sharing ≥1 shingle.
     At scale this runs AFTER lsh_candidate_pairs (verify step); standalone
-    it is the n-gram-Jaccard dedup baseline."""
+    it is the n-gram-Jaccard dedup baseline.
+
+    ``max_doc_freq`` is the standalone-mode skew guard: a shingle
+    appearing in d docs contributes d² rows to the equi-join, so one
+    boilerplate phrase shared by 10^6 docs is a 10^12-row hot key. With
+    a cap, shingles above the document-frequency cutoff are dropped
+    from the shingle universe FIRST (both intersection and sizes — the
+    Jaccard stays a true Jaccard over the filtered universe, rather
+    than a downward-biased one), bounding per-key join fan-out at
+    cap². Ultra-common shingles carry no near-dup signal (they match
+    everything), so recall loss is negligible — the same rationale as
+    stopword pruning. Default None preserves exact semantics for the
+    post-LSH verify path and the driver oracle."""
+    if max_doc_freq is not None:
+        rare = (shingles.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_doc_freq)
+                .select("shingle"))
+        shingles = shingles.join(rare, "shingle")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -351,6 +370,7 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint(eager=True))
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.select(F.col("id").alias("dst"),
@@ -369,13 +389,17 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         new = (stepped.join(jump, "comp", "left")
                .select("id", F.coalesce("jcomp", F.col("comp")).alias("comp"))
                .localCheckpoint(eager=True))
-        changed = (new.select("id", F.col("comp").alias("nc"))
-                   .join(labels.select("id", F.col("comp").alias("oc")), "id")
-                   .filter(F.col("nc") != F.col("oc")).count())
+        # Convergence probe: labels are NON-INCREASING per node (least()
+        # against a min, then a jump to an even smaller node's label),
+        # so the label sum strictly decreases until fixpoint — comparing
+        # sums over the checkpointed blocks is a single tiny column agg,
+        # not the old equality self-join (one fewer shuffle per round).
+        new_sum = new.agg(F.sum("comp")).first()[0]
         labels.unpersist()
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("id", "comp")
 
 

@@ -49,3 +49,27 @@ def test_dedup_clusters_groups_near_identical_docs(spark):
     assert got[1] == got[2] == 1
     assert got.get(3, 1) == 1  # shares most bands with 1/2
     assert 4 not in got  # no near-dup pair → absent from cluster table
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    from advanced_text_extraction_spark.operators.dedup import (
+        ngram_jaccard_pairs, word_shingles)
+
+    boiler = "all rights reserved by the site owner today"
+    rows = [(1, "alpha beta gamma delta " + boiler),
+            (2, "alpha beta gamma delta " + boiler),
+            (3, "epsilon zeta eta theta " + boiler),
+            (4, "iota kappa lambda mu " + boiler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(df, "doc_id", "text")
+
+    uncapped = ngram_jaccard_pairs(sh, "doc_id", threshold=0.01)
+    assert uncapped.count() == 6  # boilerplate links every pair
+
+    # cap at df<=2: the 4-doc boilerplate shingles drop out; only the
+    # truly shared prefix (docs 1,2) remains a pair
+    capped = ngram_jaccard_pairs(sh, "doc_id", threshold=0.01,
+                                 max_doc_freq=2)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 1.0  # true Jaccard over the filtered universe
