@@ -370,7 +370,25 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint(eager=True))
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    # Convergence probe: labels are NON-INCREASING per node (least()
+    # against a min, then a jump to an even smaller node's label), so for
+    # INTEGRAL ids the label sum strictly decreases until fixpoint —
+    # comparing sums over the checkpointed blocks is a single tiny column
+    # agg instead of an equality self-join (one fewer shuffle per round).
+    # The sum runs in decimal(38,0): a bigint sum over 10^12 nodes with
+    # 2^63-scale ids overflows int64, and a wrapped sum could alias two
+    # different label states. Non-integral id types (strings, floats)
+    # keep the exact join probe — sum() is NULL/inexact there, and
+    # None == None would end iteration after one round with wrong labels.
+    integral_ids = isinstance(
+        labels.schema["comp"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType))
+    _sum_expr = F.sum(F.col("comp").cast(T.DecimalType(38, 0)))
+
+    def _probe(df: DataFrame):
+        return df.agg(_sum_expr).first()[0]
+
+    prev_sum = _probe(labels) if integral_ids else None
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.select(F.col("id").alias("dst"),
@@ -389,17 +407,19 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         new = (stepped.join(jump, "comp", "left")
                .select("id", F.coalesce("jcomp", F.col("comp")).alias("comp"))
                .localCheckpoint(eager=True))
-        # Convergence probe: labels are NON-INCREASING per node (least()
-        # against a min, then a jump to an even smaller node's label),
-        # so the label sum strictly decreases until fixpoint — comparing
-        # sums over the checkpointed blocks is a single tiny column agg,
-        # not the old equality self-join (one fewer shuffle per round).
-        new_sum = new.agg(F.sum("comp")).first()[0]
+        if integral_ids:
+            new_sum = _probe(new)
+            changed = 0 if new_sum == prev_sum else 1
+            prev_sum = new_sum
+        else:
+            changed = (new.select("id", F.col("comp").alias("nc"))
+                       .join(labels.select("id", F.col("comp").alias("oc")),
+                             "id")
+                       .filter(F.col("nc") != F.col("oc")).count())
         labels.unpersist()
         labels = new
-        if new_sum == prev_sum:
+        if changed == 0:
             break
-        prev_sum = new_sum
     return labels.select("id", "comp")
 
 

@@ -51,6 +51,18 @@ def test_dedup_clusters_groups_near_identical_docs(spark):
     assert 4 not in got  # no near-dup pair → absent from cluster table
 
 
+def test_string_ids_use_exact_join_probe(spark):
+    # non-integral ids: sum(comp) is NULL, so the cheap sum probe would
+    # read None == None as converged after ONE round — the type gate must
+    # route string ids to the exact join probe. A 12-node chain needs
+    # several rounds, so premature termination yields >1 component.
+    edges = [(f"doc{i:02d}", f"doc{i + 1:02d}") for i in range(11)]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    comp = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert set(comp.values()) == {"doc00"}
+    assert len(comp) == 12
+
+
 def test_ngram_jaccard_doc_freq_cap(spark):
     from advanced_text_extraction_spark.operators.dedup import (
         ngram_jaccard_pairs, word_shingles)
