@@ -341,6 +341,31 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
 
 
+def _cc_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One connected-components round: min-label propagation over the
+    symmetrized edge list, then pointer jumping (follow your label's
+    label). Returned un-checkpointed so ``scripts/explain_plans.py`` can
+    audit the exact per-round physical plan the production loop runs —
+    two hash-keyed shuffles over the EDGE list (neighbor groupBy + jump
+    join), nothing quadratic, no data collect."""
+    nbr_min = (
+        sym.join(labels.select(F.col("id").alias("dst"),
+                               F.col("comp").alias("dcomp")), "dst")
+        .groupBy("src").agg(F.min("dcomp").alias("ncomp"))
+        .select(F.col("src").alias("id"), "ncomp")
+    )
+    stepped = (
+        labels.join(nbr_min, "id", "left")
+        .select("id", F.least(
+            F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+        ).alias("comp"))
+    )
+    jump = stepped.select(F.col("id").alias("comp"),
+                          F.col("comp").alias("jcomp"))
+    return (stepped.join(jump, "comp", "left")
+            .select("id", F.coalesce("jcomp", F.col("comp")).alias("comp")))
+
+
 def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 25) -> DataFrame:
@@ -390,23 +415,7 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
 
     prev_sum = _probe(labels) if integral_ids else None
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels.select(F.col("id").alias("dst"),
-                                   F.col("comp").alias("dcomp")), "dst")
-            .groupBy("src").agg(F.min("dcomp").alias("ncomp"))
-            .select(F.col("src").alias("id"), "ncomp")
-        )
-        stepped = (
-            labels.join(nbr_min, "id", "left")
-            .select("id", F.least(
-                F.col("comp"), F.coalesce("ncomp", F.col("comp"))
-            ).alias("comp"))
-        )
-        jump = stepped.select(F.col("id").alias("comp"),
-                              F.col("comp").alias("jcomp"))
-        new = (stepped.join(jump, "comp", "left")
-               .select("id", F.coalesce("jcomp", F.col("comp")).alias("comp"))
-               .localCheckpoint(eager=True))
+        new = _cc_round(sym, labels).localCheckpoint(eager=True)
         if integral_ids:
             new_sum = _probe(new)
             changed = 0 if new_sum == prev_sum else 1
