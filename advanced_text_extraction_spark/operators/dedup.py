@@ -382,16 +382,21 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     most pair combinations), making 2-4 rounds typical. Each round is
     two hash-keyed shuffles (neighbor groupBy + jump join) over the
     EDGE list only — never all-pairs, never a collect of data rows; the
-    driver sees only the per-round changed-row COUNT (the convergence
-    probe). localCheckpoint truncates the iterative plan each round
+    driver sees only a scalar convergence probe per round.
+    localCheckpoint truncates the iterative plan each round
     (unbounded lineage growth makes Catalyst analysis itself the
     bottleneck by ~iteration 20); on a real cluster prefer
     ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` so a
     lost executor replays from durable storage instead of failing the
     job."""
+    # The symmetrized edge list is read TWICE PER ROUND (neighbor join +
+    # the labels init); without materialization every round re-executes
+    # the whole upstream edge plan — for dedup_clusters that is the LSH
+    # candidate self-join, re-run each iteration. Checkpoint it once.
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")) \
         .unionByName(
-            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))) \
+        .localCheckpoint(eager=True)
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint(eager=True))

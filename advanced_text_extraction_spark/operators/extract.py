@@ -41,6 +41,13 @@ MAX_PAYLOAD_CHARS = 2_000_000
 # `ocr_fallback = fn(pdf_bytes) -> (text, confidence)`; per-worker lazy
 # engine init belongs inside fn (reference eager-init analog :315-325).
 ocr_fallback = None
+# Engine name the kernel last armed IN THIS PROCESS ("" = never armed by
+# a kernel). Spark reuses Python workers across jobs by default
+# (spark.python.worker.reuse), so module state outlives a job — the
+# kernel re-arms (or disarms) whenever its engine setting differs from
+# what this process last armed, instead of a sticky install-once guard
+# that would let job A's engine leak into job B.
+_armed_engine: str | None = ""
 
 SPAN_TYPE = T.ArrayType(
     T.StructType([
@@ -199,13 +206,32 @@ def _make_kernel(dedupe_keys: tuple[str, ...] | None,
 
     def _extract_batches(batches):
         # Arm the P3 OCR hook IN THIS PROCESS: the kernel runs in Spark's
-        # Python workers, which import this module fresh — a driver-side
-        # install_pdf_ocr_fallback() call would only set the driver's
-        # module global. The engine name is a plain string, so the closure
-        # stays picklable and each worker installs once (module state).
-        if ocr_fallback_engine is not None and ocr_fallback is None:
-            from .ocr import install_pdf_ocr_fallback
-            install_pdf_ocr_fallback(engine=ocr_fallback_engine)
+        # Python workers, so a driver-side install_pdf_ocr_fallback()
+        # call would only set the driver's module global. The engine name
+        # is a plain string, so the closure stays picklable. Workers are
+        # REUSED across jobs — arm/disarm on engine change, never
+        # install-once (a sticky install would leak job A's engine, or a
+        # disabled=None setting, into job B on reused workers while fresh
+        # workers obey the new setting — nondeterministic per-row
+        # behavior within one job).
+        #
+        # The armed-state MUST be read through an explicit module import,
+        # not a `global` reference: cloudpickle ships a nested closure's
+        # referenced globals BY VALUE, so a `global _armed_engine` here
+        # would compare the DRIVER's value (e.g. set by a driver-side
+        # install call) instead of this worker process's — skipping the
+        # arm step on fresh workers. Modules pickle by reference, so the
+        # attribute lookup below always hits the executing process's
+        # real state.
+        from advanced_text_extraction_spark.operators import (
+            extract as _self)
+        if _self._armed_engine != ocr_fallback_engine:
+            if ocr_fallback_engine is None:
+                _self.ocr_fallback = None
+            else:
+                from .ocr import install_pdf_ocr_fallback
+                install_pdf_ocr_fallback(engine=ocr_fallback_engine)
+            _self._armed_engine = ocr_fallback_engine
         seen: set | None = set() if dedupe_keys else None
         for pdf in batches:
             if dedupe_keys:

@@ -108,14 +108,16 @@ def install_pdf_ocr_fallback(engine: str = "auto",
                              preprocess: bool = True) -> None:
     """Arm the extraction operator's P3 hook: PDFs whose text layer fails
     the >50-char gate get their page images OCR'd (reference auto method
-    :501-507). Idempotent; call once per process (each Spark Python worker
-    imports this module fresh, so a pipeline calls it inside the kernel
-    module import path — module-level below)."""
+    :501-507). Idempotent per engine; the extraction kernel calls this in
+    each (possibly REUSED) Spark Python worker whenever the process's
+    armed engine differs from the job's setting, so per-job arming stays
+    deterministic across worker reuse."""
     def _fallback(pdf_bytes: bytes) -> tuple[str, float]:
         text, conf, _pages = ocr_pdf_bytes(pdf_bytes, engine=engine,
                                            preprocess=preprocess)
         return text, conf
     extract_mod.ocr_fallback = _fallback
+    extract_mod._armed_engine = engine
 
 
 PDF_PAGE_OCR_SCHEMA = T.StructType([

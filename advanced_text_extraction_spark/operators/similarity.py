@@ -175,14 +175,18 @@ def seed_centroids(df: DataFrame, n_cells: int = 16,
     are identical either way, and a deterministic seed keeps the whole IVF
     path reproducible and oracle-checkable. The collect is O(n_cells) —
     centroids are driver-side model state, like any broadcast ML model."""
-    rows = (df.filter(F.col(id_col) < n_cells)
-            .select(id_col, vec_col).orderBy(id_col).collect())
+    rows = (df.select(id_col, vec_col).orderBy(id_col)
+            .limit(n_cells).collect())
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
 def _cell_scores(centroids: list[list[float]], vec_col: str):
     """array<struct<score, negcell>> of rounded cosine to each centroid —
     array_max over it is argmax by (score, then SMALLER cell id)."""
+    if not centroids:
+        # array_max over an empty array is null → every cell would be
+        # silently null and probes would return nothing; fail loudly.
+        raise ValueError("IVF requires at least one centroid")
     entries = []
     for c, cent in enumerate(centroids):
         q = F.array(*[F.lit(float(x)) for x in cent])

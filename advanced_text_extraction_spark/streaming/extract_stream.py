@@ -147,7 +147,10 @@ def sessionize_conversations(stream: DataFrame,
     (n_turns, n_chars, first/last event time); each trigger emits an open
     progress row (update mode), and the watermark passing last_ts+gap
     fires the timeout that emits the final ``closed=true`` row and drops
-    the state. State is bounded by the number of live conversations, and
+    the state. Turns with a null ``ts`` are dropped — they carry no event
+    time to place them in a session, and their NaT sentinel would
+    otherwise corrupt the bounds or crash the query.
+    State is bounded by the number of live conversations, and
     the checkpoint persists it across restarts (the streaming analog of
     the batch job's lineage-based resume).
 
@@ -180,14 +183,29 @@ def sessionize_conversations(stream: DataFrame,
         first_us = last_us = None
         if state.exists:
             n_turns, n_chars, first_us, last_us = state.get
+        nat = -(1 << 63)  # numpy NaT → int64 sentinel
         for pdf in pdfs:
             # robust to pandas datetime64[ns] vs [us] storage
             ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            valid = ts_us != nat
+            if not valid.all():
+                # a null ts has no event time: it cannot be placed in an
+                # event-time session, and the NaT sentinel would poison
+                # first/last bounds (and a negative timeout kills the
+                # whole query). Drop such turns instead of crashing —
+                # one bad row must never terminate the stream.
+                pdf = pdf[valid]
+                ts_us = ts_us[valid]
+            if not len(pdf):
+                continue
             n_turns += len(pdf)
             n_chars += int(pdf["text"].fillna("").str.len().sum())
             lo, hi = int(ts_us.min()), int(ts_us.max())
             first_us = lo if first_us is None else min(first_us, lo)
             last_us = hi if last_us is None else max(last_us, hi)
+        if last_us is None:
+            # only null-ts turns ever seen for this key — no state to keep
+            return
         state.update((n_turns, n_chars, first_us, last_us))
         state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
         if emit_progress:

@@ -536,6 +536,15 @@ def run_skew_probe(mult: int = 400) -> dict:
                 print(f"  {label} run {attempt}: {stats['wall_sec']}s",
                       file=sys.stderr)
                 best[label] = min(best[label], stats["wall_sec"])
+        failed = [lb for lb, v in best.items() if v == float("inf")]
+        if failed:
+            # json.dump would otherwise emit the non-standard Infinity
+            # token and the ratio below would be meaningless
+            raise SystemExit(
+                f"skew probe: all runs failed for {'/'.join(failed)}")
+        # wall_u / wall_s == throughput_skewed / throughput_uniform: the
+        # fraction of uniform-input throughput the skewed input retains
+        # (1.0 = skew fully neutralized, lower = skew hurt)
         ratio = round(best["uniform"] / best["skewed"], 3)
         res = {"metric": "skew_resilience", "value": ratio, "unit": "ratio",
                "rows": n_u, "uniform_sec": best["uniform"],
@@ -560,9 +569,11 @@ def _skew_md(res: dict) -> list[str]:
         "session so host-steal conditions are shared.",
         "",
         f"- uniform: {res['uniform_sec']} s; skewed: {res['skewed_sec']} s",
-        f"- throughput ratio uniform/skewed = **{res['value']}** (1.0 = skew",
-        "  fully neutralized; the salted exchange splits the hot",
-        "  conversation across salt×bucket tasks, order restored after)",
+        f"- throughput ratio skewed/uniform = **{res['value']}** (computed",
+        "  wall_uniform/wall_skewed — how much throughput the skewed input",
+        "  keeps; 1.0 = skew fully neutralized, lower = skew hurt; the",
+        "  salted exchange splits the hot conversation across salt×bucket",
+        "  tasks, order restored after)",
         "",
     ]
 

@@ -370,6 +370,33 @@ def test_ocr_fallback_arms_inside_spark_workers(spark):
     assert out[1].extracted_text == "plain text turn"
 
 
+def test_arming_ignores_leaked_driver_state(spark):
+    """Regression: a driver-side install_pdf_ocr_fallback() marks the
+    DRIVER's module as armed; cloudpickle ships a closure's referenced
+    globals by value, so a `global`-based guard in the kernel would see
+    the driver's armed-state, conclude 'already armed', and skip arming
+    in a worker whose real module state is unarmed. The kernel must read
+    armed-state through the worker's imported module instead."""
+    rng = random.Random(29)
+    payload, expected = gen_scanned_pdf_payload(rng)
+    # poison the driver: armed-state set, hook reset (the shape any
+    # driver-side install + cleanup leaves behind)
+    install_pdf_ocr_fallback(engine="template")
+    extract_mod.ocr_fallback = None
+    try:
+        df = spark.createDataFrame(
+            [("c", 0, "user", payload, None, None)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp")
+        from advanced_text_extraction_spark.operators.extract import extract
+        out = extract(df, ocr_fallback_engine="template").collect()
+        assert out[0].metadata["text_layer"] == "ocr"
+        assert out[0].extracted_text == expected
+    finally:
+        extract_mod._armed_engine = ""
+        extract_mod.ocr_fallback = None
+
+
 def test_run_extract_job_ocr_fallback(spark, tmp_path):
     """The flagship job arms the fallback by default (config
     ocr.fallback_engine='auto')."""
