@@ -193,35 +193,78 @@ def _box_resample(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 _TEMPLATE_CHARS = sorted(FONT)
 
 
-def _bbox_features(ink: np.ndarray, band_h: float, band_top: float
-                   ) -> tuple[np.ndarray, float, float] | None:
-    """(7x5 area-resampled bbox bitmap, rel_top, rel_height) of an ink
-    mask, positions relative to the line band."""
-    ys, xs = np.nonzero(ink)
-    if ys.size == 0:
-        return None
-    y0, y1 = ys.min(), ys.max() + 1
-    x0, x1 = xs.min(), xs.max() + 1
-    cell = _box_resample(ink[y0:y1, x0:x1].astype(np.float64),
-                         GLYPH_H, GLYPH_W)
-    denom = max(band_h, 1.0)
-    return cell, (y0 - band_top) / denom, (y1 - y0) / denom
-
-
 def _build_templates() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-template (bbox bitmap, bbox dims in cols/rows, top ink row).
+
+    Matching is bbox-normalized (scale-free) + a DIMS prior at the
+    estimated page scale; the top row anchors the '-'-vs-'_' grid
+    resolution. Band-relative position priors were dropped: a line made
+    only of short glyphs ('---', '....') has a band the height of the
+    SHORT glyph, so any band-relative position is garbage exactly when
+    it is needed most."""
     feats = np.empty((len(_TEMPLATE_CHARS), GLYPH_H * GLYPH_W))
+    dims = np.empty((len(_TEMPLATE_CHARS), 2))
     tops = np.empty(len(_TEMPLATE_CHARS))
-    heights = np.empty(len(_TEMPLATE_CHARS))
     for i, ch in enumerate(_TEMPLATE_CHARS):
-        f = _bbox_features(_glyph_array(ch).astype(bool), GLYPH_H, 0.0)
-        assert f is not None
-        feats[i] = f[0].ravel()
-        tops[i], heights[i] = f[1], f[2]
-    return feats, tops, heights
+        g = _glyph_array(ch).astype(bool)
+        ys, xs = np.nonzero(g)
+        y0, y1 = ys.min(), ys.max() + 1
+        x0, x1 = xs.min(), xs.max() + 1
+        feats[i] = _box_resample(g[y0:y1, x0:x1].astype(np.float64),
+                                 GLYPH_H, GLYPH_W).ravel()
+        dims[i] = (x1 - x0, y1 - y0)
+        tops[i] = y0
+    return feats, dims, tops
 
 
-_T_FEATS, _T_TOPS, _T_HEIGHTS = _build_templates()
-_POS_WEIGHT = 0.35  # position prior weight (disambiguates '-'/'_'/.'/"'")
+_T_FEATS, _T_DIMS, _T_TOPS = _build_templates()
+_DIM_WEIGHT = 0.5      # dims-prior weight (normalized cell units)
+_BAR_SET = frozenset("-_")  # identical bbox bitmap AND dims — grid-resolved
+
+
+def _estimate_scale(dims_px: np.ndarray, dist: np.ndarray) -> float:
+    """Estimate the page's render scale (px per font cell unit).
+
+    The old per-band estimate band_h/7 collapses on lines with no tall
+    glyph (a '---' band is 1 glyph row high, so every gap threshold and
+    position prior came out ~7x too small — the short-glyph-line bug).
+    Instead, scale is a PAGE property: every observed glyph bbox
+    (w, h) must be ``scale`` times some template's integer bbox dims, so
+    each (glyph, template) pairing with consistent w/h ratios proposes a
+    candidate scale, and the candidate that maximizes total match score
+    (bitmap similarity + dims agreement) wins. For a clean render the
+    true scale scores a perfect match on every glyph and is the unique
+    argmax; a dots-only page at the naive lower bound would have to read
+    '.' as a 5x5 '+' and loses on bitmap distance.
+
+    dims_px: (G, 2) observed glyph-run bbox (w, h) in pixels.
+    dist:    (G, T) bbox-bitmap distances vs the template table.
+    """
+    w = dims_px[:, 0:1].astype(np.float64)
+    h = dims_px[:, 1:2].astype(np.float64)
+    # hard-ish lower bound: no template bbox exceeds 5 cols x 7 rows
+    lower = float(max(h.max() / GLYPH_H, w.max() / GLYPH_W))
+    pw = w / _T_DIMS[None, :, 0]          # (G, T) candidate from width
+    ph = h / _T_DIMS[None, :, 1]          # (G, T) candidate from height
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = pw / ph
+    ok = (ratio >= 0.6) & (ratio <= 1.6)
+    cands = ((pw + ph) * 0.5)[ok]
+    cands = cands[cands >= 0.5 * lower]   # far-below-bound = impossible
+    cands = np.unique(np.round(np.append(cands, lower), 3))
+    # dedupe near-identical candidates (6% clusters) to bound the scan
+    keep: list[float] = []
+    for c in cands:
+        if not keep or c > keep[-1] * 1.06:
+            keep.append(float(c))
+    best_p, best_s = keep[0], -np.inf
+    for p in keep:
+        pen = _DIM_WEIGHT * (np.abs(w / p - _T_DIMS[None, :, 0]) / GLYPH_W
+                             + np.abs(h / p - _T_DIMS[None, :, 1]) / GLYPH_H)
+        s = float((1.0 - dist - pen).max(axis=1).sum())
+        if s > best_s + 1e-9:  # ties keep the smaller (first) candidate
+            best_p, best_s = p, s
+    return best_p
 
 
 def _runs(mask: np.ndarray) -> list[tuple[int, int]]:
@@ -231,13 +274,36 @@ def _runs(mask: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(idx[0::2], idx[1::2]))
 
 
+def _ink_bbox_cell(mask: np.ndarray
+                   ) -> tuple[int, int, int, int, np.ndarray] | None:
+    """(y0, x0, w, h, 7x5 bbox-resampled bitmap) of an ink mask; offsets
+    relative to the mask origin."""
+    ys, xs = np.nonzero(mask)
+    if ys.size == 0:
+        return None
+    y0, y1 = int(ys.min()), int(ys.max()) + 1
+    x0, x1 = int(xs.min()), int(xs.max()) + 1
+    cell = _box_resample(mask[y0:y1, x0:x1].astype(np.float64),
+                         GLYPH_H, GLYPH_W)
+    return y0, x0, x1 - x0, y1 - y0, cell
+
+
 def recognize(img: np.ndarray, ink_threshold: int = 128) -> dict:
     """Recognize text in a grayscale/binary page image.
 
     Returns ``{'text', 'tokens', 'token_confs', 'line_confs', 'n_lines'}``
     — token confidences are 0-100 (tesseract dict contract,
     text_extractor.py:431); line confidences are the per-region analog
-    (:446-457)."""
+    (:446-457).
+
+    Pipeline: raw row bands -> page-scale estimate from every glyph run
+    (``_estimate_scale``) -> scale-aware band merge -> glyph/word
+    segmentation and bitmap+dims template match at that scale -> grid-row
+    resolution of the one genuinely ambiguous pair ('-' vs '_', whose
+    bbox bitmaps and dims are identical). All thresholds derive from the
+    PAGE scale, so separator lines ('---', '====', '....') segment and
+    match exactly like full-height text — the old per-band band_h/7
+    estimate read '---' as '! ! !' with full confidence."""
     gray = to_gray(img)
     ink = gray < ink_threshold
     tokens: list[str] = []
@@ -245,96 +311,185 @@ def recognize(img: np.ndarray, ink_threshold: int = 128) -> dict:
     line_confs: list[float] = []
     out_lines: list[str] = []
 
-    row_has_ink = ink.any(axis=1)
-    line_bands = _runs(row_has_ink)
-    # Merge bands whose gap is internal glyph blank space (e.g. the
-    # '!'/'?' dot row) rather than a true line gap. Two conditions:
-    # - gap <= 2.5/7 of the tallest band: internal blanks are <= 2 of
-    #   the 7 glyph rows, true line gaps are >= 3 (LINE_STRIDE 10 -
-    #   GLYPH_H 7), so the midpoint separates them at every scale —
-    #   including a page whose tallest line is punctuation-only (a
-    #   5-row '!' bar; tallest < 7 rows only SHRINKS the threshold).
-    #   The old 0.2x-with-strict-'<' rule hit exact equality there
-    #   (gap = 1 row = 0.2*5) and split the dot into its own line.
-    # - merged span <= 1.5x the tallest band: a glyph-internal merge
-    #   reassembles at most one glyph height (7/5 of a bar-only
-    #   tallest), while bridging two LINES spans >= 17/7 of tallest —
-    #   this keeps residual salt-and-pepper specks in the line gap
-    #   (survivors of denoise) from chain-gluing adjacent lines: a
-    #   speck may join the nearer line's band (harmless), but the
-    #   line-plus-speck band can never absorb the next line.
-    if line_bands:
-        tallest = max(b - a for a, b in line_bands)
-        gap_max = (2.5 / 7.0) * tallest
-        span_max = 1.5 * tallest
-        merged = [line_bands[0]]
-        for a, b in line_bands[1:]:
-            if (a - merged[-1][1] <= gap_max
-                    and b - merged[-1][0] <= span_max):
+    raw_bands = _runs(ink.any(axis=1))
+    if not raw_bands:
+        return {"text": "", "tokens": [], "token_confs": [],
+                "line_confs": [], "n_lines": 0}
+
+    # ---- page-scale estimate, iterated with band merging to a fixed
+    # point. Scale needs merged bands ('!' raw-splits into a 5-row bar
+    # band + a dot band, and a '!'-only page then has no run shaped like
+    # any template at the true scale), but merging needs the scale — so:
+    # estimate from raw bands, merge, re-estimate from merged bands,
+    # repeat until stable (2 passes in practice).
+    #
+    # Band-merge rule at a known scale: glyph-internal blank rows are
+    # <= 2 cells ('!' dot row, '=' bar gap), true line gaps >= 3 cells
+    # (LINE_STRIDE 10 - GLYPH_H 7) -> threshold 2.5p splits them. The
+    # span cap (glyph height 7 cells + halo slack) keeps a residual
+    # speck in the line gap from chain-gluing two lines: the speck may
+    # join the nearer line (harmless) but the pair can't absorb the
+    # next line (span >= 10 cells).
+    def _est_from(bands: list[tuple[int, int]]) -> float:
+        est_dims: list[tuple[int, int]] = []
+        est_cells: list[np.ndarray] = []
+        for (a, b) in bands:
+            band = ink[a:b]
+            for (x0, x1) in _runs(band.any(axis=0)):
+                f = _ink_bbox_cell(band[:, x0:x1])
+                if f is not None:
+                    est_dims.append((f[2], f[3]))
+                    est_cells.append(f[4].ravel())
+        feats = np.asarray(est_cells)
+        dist = np.abs(feats[:, None, :]
+                      - _T_FEATS[None, :, :]).mean(axis=2)
+        return _estimate_scale(np.asarray(est_dims, dtype=np.float64),
+                               dist)
+
+    def _merge_at(p: float, span_cap: bool = True
+                  ) -> list[tuple[int, int]]:
+        merged = [raw_bands[0]]
+        for a, b in raw_bands[1:]:
+            if (a - merged[-1][1] <= 2.5 * p
+                    and (not span_cap or b - merged[-1][0] <= 8.0 * p)):
                 merged[-1] = (merged[-1][0], b)
             else:
                 merged.append((a, b))
-        line_bands = merged
+        return merged
 
+    def _config_score(bands: list[tuple[int, int]], p: float) -> float:
+        """Mean per-glyph-run best match score of a (bands, scale)
+        hypothesis — the comparator between competing segmentations."""
+        scores: list[float] = []
+        for (a, b) in bands:
+            band = ink[a:b]
+            for (x0, x1) in _runs(band.any(axis=0)):
+                f = _ink_bbox_cell(band[:, x0:x1])
+                if f is None:
+                    continue
+                _y, _x, w_px, h_px, cell = f
+                d = np.abs(_T_FEATS - cell.ravel()[None, :]).mean(axis=1)
+                pen = _DIM_WEIGHT * (
+                    np.abs(w_px / p - _T_DIMS[:, 0]) / GLYPH_W
+                    + np.abs(h_px / p - _T_DIMS[:, 1]) / GLYPH_H)
+                scores.append(float((1.0 - d - pen).max()))
+        return float(np.mean(scores)) if scores else -np.inf
+    # Scale and band merging are interdependent: a '!'-only page splits
+    # into a bar band + a dot band, and neither half matches '!' at the
+    # true scale, so the raw-band estimate undershoots — while at the
+    # undershot scale the span cap (rightly, for specks) refuses the
+    # reassembling merge. Resolution: propose scales from the raw bands
+    # AND from a gap-only (uncapped) merge, build each proposal's final
+    # config with the FULL merge rule at its own scale, and keep the
+    # config whose glyphs best match the template table. The uncapped
+    # merge is only ever a scale proposal — final bands always respect
+    # the span cap, so speck protection survives.
+    p0 = _est_from(raw_bands)
+    seeds = {round(p0, 6)}
+    seeds.add(round(_est_from(_merge_at(p0)), 6))
+    seeds.add(round(_est_from(_merge_at(p0, span_cap=False)), 6))
+    best = -np.inf
+    p, line_bands = p0, _merge_at(p0)
+    for seed in seeds:
+        p_fin = _est_from(_merge_at(seed))
+        b_fin = _merge_at(p_fin)
+        s = _config_score(b_fin, p_fin)
+        if s > best + 1e-9:
+            best, p, line_bands = s, p_fin, b_fin
+
+    # ---- per band: segment glyphs/words, match, collect bar glyphs and
+    # grid anchors for the '-'/'_' resolution pass
+    per_line: list[dict] = []   # chars, confs, words
+    bars: list[tuple[int, int]] = []      # (line_idx, glyph_idx)
+    anchor_tops: list[float] = []         # grid-top estimates per band
     for (ly0, ly1) in line_bands:
         band = ink[ly0:ly1]
-        band_h = float(ly1 - ly0)
-        scale_est = band_h / GLYPH_H
-        col_has_ink = band.any(axis=0)
-        col_runs = _runs(col_has_ink)
+        col_runs = _runs(band.any(axis=0))
         if not col_runs:
             continue
-        # merge column runs whose gap is intra-glyph (< 1.7 * scale —
-        # an intra-glyph blank column is 1 col, shrunk further by the
-        # binarize halo, while the inter-glyph gap is >= 3 cols); gaps
-        # >= 8 * scale separate words — the widest non-space gap is 6
-        # cols (two adjacent narrow glyphs like ':1'), the narrowest
-        # space gap is 14 cols
+        # gap < 1.7p merges intra-glyph blank columns (1 cell, shrunk
+        # further by the binarize halo; inter-glyph gaps are >= 3 cells)
         glyphs: list[tuple[int, int]] = [col_runs[0]]
         for a, b in col_runs[1:]:
-            if a - glyphs[-1][1] < 1.7 * scale_est:
+            if a - glyphs[-1][1] < 1.7 * p:
                 glyphs[-1] = (glyphs[-1][0], b)
             else:
                 glyphs.append((a, b))
 
-        feats = []
-        for (gx0, gx1) in glyphs:
-            f = _bbox_features(band[:, gx0:gx1], band_h, 0.0)
-            feats.append(f)
-        # batch template match: (n_glyphs, 35) vs (n_templates, 35)
         chars: list[str] = []
         confs: list[float] = []
-        for f in feats:
-            if f is None:
+        tops: list[int] = []
+        band_anchors: list[float] = []
+        li = len(per_line)
+        for gi, (gx0, gx1) in enumerate(glyphs):
+            f = _ink_bbox_cell(band[:, gx0:gx1])
+            if f is None:      # unreachable: runs are ink by definition
                 chars.append(" ")
                 confs.append(0.0)
+                tops.append(ly0)
                 continue
-            cell, rtop, rheight = f
-            dist = np.abs(_T_FEATS - cell.ravel()[None, :]).mean(axis=1)
-            pos_pen = _POS_WEIGHT * (np.abs(_T_TOPS - rtop)
-                                     + np.abs(_T_HEIGHTS - rheight))
-            score = 1.0 - dist - pos_pen
-            k = int(np.argmax(score))
-            chars.append(_TEMPLATE_CHARS[k])
-            confs.append(float(np.clip((1.0 - dist[k]) * 100.0, 0.0, 100.0)))
+            gy0, _gx, w_px, h_px, cell = f
+            d = np.abs(_T_FEATS - cell.ravel()[None, :]).mean(axis=1)
+            pen = _DIM_WEIGHT * (
+                np.abs(w_px / p - _T_DIMS[:, 0]) / GLYPH_W
+                + np.abs(h_px / p - _T_DIMS[:, 1]) / GLYPH_H)
+            k = int(np.argmax(1.0 - d - pen))
+            ch = _TEMPLATE_CHARS[k]
+            chars.append(ch)
+            confs.append(float(np.clip((1.0 - d[k]) * 100.0, 0.0, 100.0)))
+            tops.append(ly0 + gy0)
+            if ch in _BAR_SET:
+                bars.append((li, gi))
+            elif d[k] < 0.3:
+                # confident non-bar glyph anchors the 10-cell line grid
+                band_anchors.append(ly0 + gy0 - _T_TOPS[k] * p)
 
-        # word grouping by inter-glyph gap
+        # word grouping: widest intra-word ink gap is 6 cells, the
+        # narrowest single-space gap is 11 -> threshold 8p
         words: list[list[int]] = [[0]]
         for i in range(1, len(glyphs)):
-            gap = glyphs[i][0] - glyphs[i - 1][1]
-            if gap >= 8.0 * scale_est:
+            if glyphs[i][0] - glyphs[i - 1][1] >= 8.0 * p:
                 words.append([i])
             else:
                 words[-1].append(i)
+        anchor_tops.append(float(np.median(band_anchors))
+                           if band_anchors else np.nan)
+        per_line.append({"chars": chars, "confs": confs, "tops": tops,
+                         "words": words})
+
+    # ---- resolve '-' vs '_': identical shape, distinguished only by
+    # grid row (3 vs 6). Anchor priority: same band -> nearest anchored
+    # band (rows differ by exact multiples of LINE_STRIDE, so mod-10
+    # arithmetic recovers the row) -> the renderer's equal top/left
+    # margin (y0 - page_x0 = (10*i + row)*p for a line whose first glyph
+    # inks column 0, true of every bar) -> default '-'.
+    if bars:
+        anchored = [i for i, t in enumerate(anchor_tops) if not np.isnan(t)]
+        page_x0 = int(np.flatnonzero(ink.any(axis=0))[0])
+        for (li, gi) in bars:
+            y0 = per_line[li]["tops"][gi]
+            if not np.isnan(anchor_tops[li]):
+                r = (y0 - anchor_tops[li]) / p
+            elif anchored:
+                j = min(anchored, key=lambda i: abs(i - li))
+                r = ((y0 - anchor_tops[j]) / p) % LINE_STRIDE
+            else:
+                r = ((y0 - page_x0) / p) % LINE_STRIDE
+            d3 = min(abs(r - 3), LINE_STRIDE - abs(r - 3))
+            d6 = min(abs(r - 6), LINE_STRIDE - abs(r - 6))
+            per_line[li]["chars"][gi] = "-" if d3 <= d6 else "_"
+
+    # ---- assemble tokens/lines
+    for line in per_line:
         line_tokens = []
         line_token_confs = []
-        for w in words:
-            tok = "".join(chars[i] for i in w).strip()
+        for w in line["words"]:
+            tok = "".join(line["chars"][i] for i in w).strip()
             if not tok:
                 continue
-            conf = float(np.mean([confs[i] for i in w]))
             line_tokens.append(tok)
-            line_token_confs.append(conf)
+            line_token_confs.append(float(np.mean(
+                [line["confs"][i] for i in w])))
         if line_tokens:
             out_lines.append(" ".join(line_tokens))
             tokens.extend(line_tokens)
@@ -387,6 +542,22 @@ def _init_engines() -> dict:
             conf = (sum(confs) / len(confs) / 100.0) if confs else 0.0
             return " ".join(texts), conf, confs
         engines["easyocr"] = _ocr_easyocr
+    except Exception:
+        pass
+    try:  # pragma: no cover - not installed in this sandbox
+        from paddleocr import PaddleOCR
+        paddle = PaddleOCR(lang="en", use_angle_cls=False, show_log=False)
+
+        def _ocr_paddle(img: np.ndarray) -> tuple[str, float, list[float]]:
+            # reference :466-478: result rows are (bbox, (text, conf)),
+            # conf on 0-1; region confidences mirror easyocr's contract
+            results = paddle.ocr(img, cls=False) or []
+            lines = [r for page in results for r in (page or [])]
+            texts = [t for _b, (t, _c) in lines]
+            confs = [float(c) * 100.0 for _b, (_t, c) in lines]
+            conf = (sum(confs) / len(confs) / 100.0) if confs else 0.0
+            return " ".join(texts), conf, confs
+        engines["paddleocr"] = _ocr_paddle
     except Exception:
         pass
     engines["template"] = _ocr_template

@@ -86,9 +86,12 @@ def ocr_pdf_bytes(pdf_bytes: bytes, engine: str = "auto",
 
     Returns (text, mean_page_confidence, page_confs): pages joined
     '\\n\\n', confidence = mean over pages (reference :601-603 — the A7
-    page-level aggregation)."""
+    page-level aggregation). A page with NO embedded images has nothing
+    to score — its page_confs slot is None and it is excluded from the
+    doc mean (a 0.0 there would halve the confidence of an otherwise
+    fully-OCR'd scan every time a blank page appears)."""
     page_texts: list[str] = []
-    page_confs: list[float] = []
+    page_confs: list[float | None] = []
     for images in extract_page_images(pdf_bytes):
         texts = []
         confs = []
@@ -98,9 +101,10 @@ def ocr_pdf_bytes(pdf_bytes: bytes, engine: str = "auto",
             texts.append(res["text"])
             confs.append(float(res["confidence"]))
         page_texts.append("\n".join(t for t in texts if t))
-        page_confs.append(float(np.mean(confs)) if confs else 0.0)
+        page_confs.append(float(np.mean(confs)) if confs else None)
     text = "\n\n".join(page_texts)
-    conf = float(np.mean(page_confs)) if page_confs else 0.0
+    scored = [c for c in page_confs if c is not None]
+    conf = float(np.mean(scored)) if scored else 0.0
     return text, conf, page_confs
 
 
@@ -124,7 +128,9 @@ PDF_PAGE_OCR_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("page_idx", T.IntegerType(), False),
     T.StructField("text", T.StringType(), False),
-    T.StructField("page_confidence", T.DoubleType(), False),
+    # nullable: a page with no embedded images carries no confidence —
+    # NULL is skipped by the A7 avg, where a 0.0 would drag the doc mean
+    T.StructField("page_confidence", T.DoubleType(), True),
     T.StructField("status", T.StringType(), False),
 ])
 
@@ -156,7 +162,8 @@ def pdf_ocr_pages(df: DataFrame, id_col: str = "doc_id",
                             confs.append(float(res["confidence"]))
                         doc_rows.append((int(did), p,
                                          "\n".join(t for t in texts if t),
-                                         float(np.mean(confs)) if confs else 0.0,
+                                         float(np.mean(confs)) if confs
+                                         else None,  # image-less page
                                          "ok"))
                 except Exception:
                     doc_rows = [(int(did), -1, "", 0.0, "error")]

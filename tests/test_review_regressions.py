@@ -171,3 +171,87 @@ def test_punctuation_only_line_not_split():
 def test_two_punctuation_lines_stay_separate():
     res = recognize(render_page("!!!\n!!!", scale=3))
     assert res["text"] == "!!!\n!!!"
+
+
+# -------------------------------------------------- short-glyph-only lines
+# Regression: per-band scale estimation (band_h/7) collapsed on lines
+# with no tall glyph — '---' read as '! ! !' with full confidence, '='
+# split into two lines. Scale is now a page property estimated across
+# all glyph runs, and '-' vs '_' resolve against the line grid.
+
+@pytest.mark.parametrize("scale", [1, 2, 3, 4])
+@pytest.mark.parametrize("text", [
+    "---", "....", "___", "====", "= = =", "'''", ". . .",
+    "--- TITLE ---", "A_B", "__INIT__", "X - Y _ Z",
+])
+def test_separator_lines_recognized_exactly(text, scale):
+    assert recognize(render_page(text, scale=scale))["text"] == text
+
+
+def test_yaml_front_matter_page():
+    # the scenario from the finding: a '---' line amid normal text —
+    # the anchored lines fix the grid for the bar-only line
+    txt = "YAML:\n---\nKEY: VALUE"
+    assert recognize(render_page(txt, scale=3))["text"] == txt
+
+
+def test_bar_only_page_distinguishes_dash_from_underscore():
+    # no anchor glyph anywhere: falls back to the renderer's equal
+    # top/left margin to locate the grid row (3 vs 6)
+    assert recognize(render_page("___\n___", scale=3))["text"] == "___\n___"
+    assert recognize(render_page("---", scale=2))["text"] == "---"
+
+
+# ------------------------------------------------- image-less PDF pages
+
+def test_imageless_page_does_not_drag_confidence():
+    """A page with no embedded images has nothing to score: its
+    page_confs slot is None and the doc mean covers only scored pages
+    (a 0.0 used to halve an otherwise perfect scan)."""
+    from advanced_text_extraction_spark.operators.ocr import ocr_pdf_bytes
+
+    data = build_scanned_pdf(["GOOD SCAN PAGE", "DROPPED"], scale=3)
+    # strip page 2's image resource -> a legal image-less page
+    patched = data.replace(b"/Resources << /XObject << /Im0 7 0 R >> >>",
+                           b"/Resources << >>")
+    assert patched != data
+    text, conf, page_confs = ocr_pdf_bytes(patched, preprocess=False)
+    assert text == "GOOD SCAN PAGE\n\n"
+    assert conf == 1.0
+    assert page_confs == [1.0, None]
+
+
+def test_imageless_page_null_in_page_rows(spark):
+    from advanced_text_extraction_spark.operators.ocr import (
+        page_confidence_stats, pdf_ocr_pages)
+
+    data = build_scanned_pdf(["GOOD SCAN PAGE", "DROPPED"], scale=3)
+    patched = data.replace(b"/Resources << /XObject << /Im0 7 0 R >> >>",
+                           b"/Resources << >>")
+    assert patched != data
+    df = spark.createDataFrame([(1, bytearray(patched))],
+                               "doc_id long, payload binary")
+    pages = pdf_ocr_pages(df, preprocess=False).orderBy("page_idx").collect()
+    assert [r.page_confidence for r in pages] == [1.0, None]
+    stats = page_confidence_stats(pdf_ocr_pages(df, preprocess=False)) \
+        .collect()
+    # avg skips the NULL; n_pages still counts the page as processed
+    assert [(r.doc_id, r.n_pages, r.page_conf_mean) for r in stats] == [
+        (1, 2, 1.0)]
+
+
+# ------------------------------------------------- paddleocr routing
+
+def test_select_engine_routes_large_images_to_paddleocr(monkeypatch):
+    """The large+complex branch must be reachable when a paddleocr
+    engine is registered (it used to be dead: checked for a key no
+    registration block ever created)."""
+    import numpy as np
+
+    from advanced_text_extraction_spark.kernels import ocr as K
+
+    big = np.zeros((1500, 1500), dtype=np.uint8)
+    small = np.zeros((50, 200), dtype=np.uint8)
+    monkeypatch.setitem(K.ENGINES, "paddleocr", lambda img: ("", 0.0, []))
+    assert K.select_engine(big) == "paddleocr"
+    assert K.select_engine(small) in ("easyocr", "tesseract", "template")
