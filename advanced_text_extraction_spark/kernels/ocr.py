@@ -330,21 +330,58 @@ def recognize(img: np.ndarray, ink_threshold: int = 128) -> dict:
     # speck in the line gap from chain-gluing two lines: the speck may
     # join the nearer line (harmless) but the pair can't absorb the
     # next line (span >= 10 cells).
+    # Per-glyph features are memoized across all estimation passes: a
+    # glyph run is identified by its band rows + column extent, and
+    # bands only change for the rare intra-glyph row splits, so every
+    # pass after the first is near-free (the naive version recomputed
+    # the box-resample up to ~8x per glyph — a measured ~6x slowdown of
+    # the whole roundtrip).
+    _run_cache: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    _feat_cache: dict = {}
+
+    def _band_runs(a: int, b: int) -> list[tuple[int, int]]:
+        runs = _run_cache.get((a, b))
+        if runs is None:
+            runs = _runs(ink[a:b].any(axis=0))
+            _run_cache[(a, b)] = runs
+        return runs
+
+    def _glyph_feat(a: int, b: int, x0: int, x1: int):
+        """(y0_abs, w, h, cell, dist-to-templates) of one glyph run."""
+        key = (a, b, x0, x1)
+        f = _feat_cache.get(key)
+        if f is None:
+            g = _ink_bbox_cell(ink[a:b, x0:x1])
+            if g is None:
+                f = (None,)
+            else:
+                gy0, _gx, w_px, h_px, cell = g
+                d = np.abs(_T_FEATS - cell.ravel()[None, :]).mean(axis=1)
+                f = (a + gy0, w_px, h_px, cell, d)
+            _feat_cache[key] = f
+        return f if f[0] is not None else None
+
+    _est_cache: dict[tuple, float] = {}
+
     def _est_from(bands: list[tuple[int, int]]) -> float:
+        # memoized per band set: on a normal page the raw bands ARE the
+        # merged bands, so all seed proposals collapse to one estimate
+        key = tuple(bands)
+        hit = _est_cache.get(key)
+        if hit is not None:
+            return hit
         est_dims: list[tuple[int, int]] = []
-        est_cells: list[np.ndarray] = []
+        est_dist: list[np.ndarray] = []
         for (a, b) in bands:
-            band = ink[a:b]
-            for (x0, x1) in _runs(band.any(axis=0)):
-                f = _ink_bbox_cell(band[:, x0:x1])
+            for (x0, x1) in _band_runs(a, b):
+                f = _glyph_feat(a, b, x0, x1)
                 if f is not None:
-                    est_dims.append((f[2], f[3]))
-                    est_cells.append(f[4].ravel())
-        feats = np.asarray(est_cells)
-        dist = np.abs(feats[:, None, :]
-                      - _T_FEATS[None, :, :]).mean(axis=2)
-        return _estimate_scale(np.asarray(est_dims, dtype=np.float64),
-                               dist)
+                    est_dims.append((f[1], f[2]))
+                    est_dist.append(f[4])
+        p = _estimate_scale(np.asarray(est_dims, dtype=np.float64),
+                            np.asarray(est_dist))
+        _est_cache[key] = p
+        return p
 
     def _merge_at(p: float, span_cap: bool = True
                   ) -> list[tuple[int, int]]:
@@ -362,13 +399,11 @@ def recognize(img: np.ndarray, ink_threshold: int = 128) -> dict:
         hypothesis — the comparator between competing segmentations."""
         scores: list[float] = []
         for (a, b) in bands:
-            band = ink[a:b]
-            for (x0, x1) in _runs(band.any(axis=0)):
-                f = _ink_bbox_cell(band[:, x0:x1])
+            for (x0, x1) in _band_runs(a, b):
+                f = _glyph_feat(a, b, x0, x1)
                 if f is None:
                     continue
-                _y, _x, w_px, h_px, cell = f
-                d = np.abs(_T_FEATS - cell.ravel()[None, :]).mean(axis=1)
+                _y0, w_px, h_px, _cell, d = f
                 pen = _DIM_WEIGHT * (
                     np.abs(w_px / p - _T_DIMS[:, 0]) / GLYPH_W
                     + np.abs(h_px / p - _T_DIMS[:, 1]) / GLYPH_H)
@@ -403,8 +438,7 @@ def recognize(img: np.ndarray, ink_threshold: int = 128) -> dict:
     bars: list[tuple[int, int]] = []      # (line_idx, glyph_idx)
     anchor_tops: list[float] = []         # grid-top estimates per band
     for (ly0, ly1) in line_bands:
-        band = ink[ly0:ly1]
-        col_runs = _runs(band.any(axis=0))
+        col_runs = _band_runs(ly0, ly1)
         if not col_runs:
             continue
         # gap < 1.7p merges intra-glyph blank columns (1 cell, shrunk
@@ -422,14 +456,13 @@ def recognize(img: np.ndarray, ink_threshold: int = 128) -> dict:
         band_anchors: list[float] = []
         li = len(per_line)
         for gi, (gx0, gx1) in enumerate(glyphs):
-            f = _ink_bbox_cell(band[:, gx0:gx1])
+            f = _glyph_feat(ly0, ly1, gx0, gx1)
             if f is None:      # unreachable: runs are ink by definition
                 chars.append(" ")
                 confs.append(0.0)
                 tops.append(ly0)
                 continue
-            gy0, _gx, w_px, h_px, cell = f
-            d = np.abs(_T_FEATS - cell.ravel()[None, :]).mean(axis=1)
+            y0_abs, w_px, h_px, _cell, d = f
             pen = _DIM_WEIGHT * (
                 np.abs(w_px / p - _T_DIMS[:, 0]) / GLYPH_W
                 + np.abs(h_px / p - _T_DIMS[:, 1]) / GLYPH_H)
@@ -437,12 +470,12 @@ def recognize(img: np.ndarray, ink_threshold: int = 128) -> dict:
             ch = _TEMPLATE_CHARS[k]
             chars.append(ch)
             confs.append(float(np.clip((1.0 - d[k]) * 100.0, 0.0, 100.0)))
-            tops.append(ly0 + gy0)
+            tops.append(y0_abs)
             if ch in _BAR_SET:
                 bars.append((li, gi))
             elif d[k] < 0.3:
                 # confident non-bar glyph anchors the 10-cell line grid
-                band_anchors.append(ly0 + gy0 - _T_TOPS[k] * p)
+                band_anchors.append(y0_abs - _T_TOPS[k] * p)
 
         # word grouping: widest intra-word ink gap is 6 cells, the
         # narrowest single-space gap is 11 -> threshold 8p
