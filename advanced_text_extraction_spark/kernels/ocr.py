@@ -193,6 +193,20 @@ def _box_resample(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 _TEMPLATE_CHARS = sorted(FONT)
 
 
+def _ink_bbox_cell(mask: np.ndarray
+                   ) -> tuple[int, int, int, int, np.ndarray] | None:
+    """(y0, x0, w, h, 7x5 bbox-resampled bitmap) of an ink mask; offsets
+    relative to the mask origin."""
+    ys, xs = np.nonzero(mask)
+    if ys.size == 0:
+        return None
+    y0, y1 = int(ys.min()), int(ys.max()) + 1
+    x0, x1 = int(xs.min()), int(xs.max()) + 1
+    cell = _box_resample(mask[y0:y1, x0:x1].astype(np.float64),
+                         GLYPH_H, GLYPH_W)
+    return y0, x0, x1 - x0, y1 - y0, cell
+
+
 def _build_templates() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-template (bbox bitmap, bbox dims in cols/rows, top ink row).
 
@@ -206,13 +220,9 @@ def _build_templates() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     dims = np.empty((len(_TEMPLATE_CHARS), 2))
     tops = np.empty(len(_TEMPLATE_CHARS))
     for i, ch in enumerate(_TEMPLATE_CHARS):
-        g = _glyph_array(ch).astype(bool)
-        ys, xs = np.nonzero(g)
-        y0, y1 = ys.min(), ys.max() + 1
-        x0, x1 = xs.min(), xs.max() + 1
-        feats[i] = _box_resample(g[y0:y1, x0:x1].astype(np.float64),
-                                 GLYPH_H, GLYPH_W).ravel()
-        dims[i] = (x1 - x0, y1 - y0)
+        y0, _x0, w, h, cell = _ink_bbox_cell(_glyph_array(ch).astype(bool))
+        feats[i] = cell.ravel()
+        dims[i] = (w, h)
         tops[i] = y0
     return feats, dims, tops
 
@@ -220,6 +230,14 @@ def _build_templates() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 _T_FEATS, _T_DIMS, _T_TOPS = _build_templates()
 _DIM_WEIGHT = 0.5      # dims-prior weight (normalized cell units)
 _BAR_SET = frozenset("-_")  # identical bbox bitmap AND dims — grid-resolved
+
+
+def _dims_penalty(w, h, p: float) -> np.ndarray:
+    """Dims-prior penalty of an observed bbox (w, h) in px against every
+    template at scale p — the ONE formula shared by scale estimation,
+    config scoring, and final classification."""
+    return _DIM_WEIGHT * (np.abs(w / p - _T_DIMS[..., 0]) / GLYPH_W
+                          + np.abs(h / p - _T_DIMS[..., 1]) / GLYPH_H)
 
 
 def _estimate_scale(dims_px: np.ndarray, dist: np.ndarray) -> float:
@@ -242,15 +260,24 @@ def _estimate_scale(dims_px: np.ndarray, dist: np.ndarray) -> float:
     """
     w = dims_px[:, 0:1].astype(np.float64)
     h = dims_px[:, 1:2].astype(np.float64)
-    # hard-ish lower bound: no template bbox exceeds 5 cols x 7 rows
-    lower = float(max(h.max() / GLYPH_H, w.max() / GLYPH_W))
+    # Candidate floor from the MEDIAN per-run bound, not the max: a max
+    # treats every ink run as a glyph, so one wide non-glyph run (a
+    # horizontal rule, an underline bar, a scanner streak — or a tall
+    # vertical table border) would raise the floor ~10x and filter out
+    # the true scale, destroying the whole page. The median is anchored
+    # by the glyph population; oversized artifacts still PROPOSE huge
+    # candidates below, but those lose the match-score vote against
+    # every real glyph.
+    per_run = np.maximum(h / GLYPH_H, w / GLYPH_W)
+    floor = 0.5 * float(np.median(per_run))
+    lower = float(per_run.max())          # kept only as a candidate
     pw = w / _T_DIMS[None, :, 0]          # (G, T) candidate from width
     ph = h / _T_DIMS[None, :, 1]          # (G, T) candidate from height
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = pw / ph
     ok = (ratio >= 0.6) & (ratio <= 1.6)
     cands = ((pw + ph) * 0.5)[ok]
-    cands = cands[cands >= 0.5 * lower]   # far-below-bound = impossible
+    cands = cands[cands >= floor]
     cands = np.unique(np.round(np.append(cands, lower), 3))
     # dedupe near-identical candidates (6% clusters) to bound the scan
     keep: list[float] = []
@@ -259,9 +286,7 @@ def _estimate_scale(dims_px: np.ndarray, dist: np.ndarray) -> float:
             keep.append(float(c))
     best_p, best_s = keep[0], -np.inf
     for p in keep:
-        pen = _DIM_WEIGHT * (np.abs(w / p - _T_DIMS[None, :, 0]) / GLYPH_W
-                             + np.abs(h / p - _T_DIMS[None, :, 1]) / GLYPH_H)
-        s = float((1.0 - dist - pen).max(axis=1).sum())
+        s = float((1.0 - dist - _dims_penalty(w, h, p)).max(axis=1).sum())
         if s > best_s + 1e-9:  # ties keep the smaller (first) candidate
             best_p, best_s = p, s
     return best_p
@@ -272,20 +297,6 @@ def _runs(mask: np.ndarray) -> list[tuple[int, int]]:
     idx = np.flatnonzero(np.diff(np.concatenate(
         [[0], mask.astype(np.int8), [0]])))
     return list(zip(idx[0::2], idx[1::2]))
-
-
-def _ink_bbox_cell(mask: np.ndarray
-                   ) -> tuple[int, int, int, int, np.ndarray] | None:
-    """(y0, x0, w, h, 7x5 bbox-resampled bitmap) of an ink mask; offsets
-    relative to the mask origin."""
-    ys, xs = np.nonzero(mask)
-    if ys.size == 0:
-        return None
-    y0, y1 = int(ys.min()), int(ys.max()) + 1
-    x0, x1 = int(xs.min()), int(xs.max()) + 1
-    cell = _box_resample(mask[y0:y1, x0:x1].astype(np.float64),
-                         GLYPH_H, GLYPH_W)
-    return y0, x0, x1 - x0, y1 - y0, cell
 
 
 def recognize(img: np.ndarray, ink_threshold: int = 128) -> dict:
@@ -326,10 +337,11 @@ def recognize(img: np.ndarray, ink_threshold: int = 128) -> dict:
     # Band-merge rule at a known scale: glyph-internal blank rows are
     # <= 2 cells ('!' dot row, '=' bar gap), true line gaps >= 3 cells
     # (LINE_STRIDE 10 - GLYPH_H 7) -> threshold 2.5p splits them. The
-    # span cap (glyph height 7 cells + halo slack) keeps a residual
-    # speck in the line gap from chain-gluing two lines: the speck may
-    # join the nearer line (harmless) but the pair can't absorb the
-    # next line (span >= 10 cells).
+    # span cap keeps a residual speck in the line gap from chain-gluing
+    # two lines. 12 cells sits between the largest legitimate merge
+    # (line 7 + gap 2.5 + speck ~1 ≈ 10.5 cells — the speck must join
+    # the nearer line, NOT become a phantom 100-confidence line of its
+    # own) and the smallest two-line span (7 + 3 + 7 = 17 cells).
     # Per-glyph features are memoized across all estimation passes: a
     # glyph run is identified by its band rows + column extent, and
     # bands only change for the rare intra-glyph row splits, so every
@@ -388,7 +400,7 @@ def recognize(img: np.ndarray, ink_threshold: int = 128) -> dict:
         merged = [raw_bands[0]]
         for a, b in raw_bands[1:]:
             if (a - merged[-1][1] <= 2.5 * p
-                    and (not span_cap or b - merged[-1][0] <= 8.0 * p)):
+                    and (not span_cap or b - merged[-1][0] <= 12.0 * p)):
                 merged[-1] = (merged[-1][0], b)
             else:
                 merged.append((a, b))
@@ -404,10 +416,8 @@ def recognize(img: np.ndarray, ink_threshold: int = 128) -> dict:
                 if f is None:
                     continue
                 _y0, w_px, h_px, _cell, d = f
-                pen = _DIM_WEIGHT * (
-                    np.abs(w_px / p - _T_DIMS[:, 0]) / GLYPH_W
-                    + np.abs(h_px / p - _T_DIMS[:, 1]) / GLYPH_H)
-                scores.append(float((1.0 - d - pen).max()))
+                scores.append(float(
+                    (1.0 - d - _dims_penalty(w_px, h_px, p)).max()))
         return float(np.mean(scores)) if scores else -np.inf
     # Scale and band merging are interdependent: a '!'-only page splits
     # into a bar band + a dot band, and neither half matches '!' at the
@@ -463,10 +473,7 @@ def recognize(img: np.ndarray, ink_threshold: int = 128) -> dict:
                 tops.append(ly0)
                 continue
             y0_abs, w_px, h_px, _cell, d = f
-            pen = _DIM_WEIGHT * (
-                np.abs(w_px / p - _T_DIMS[:, 0]) / GLYPH_W
-                + np.abs(h_px / p - _T_DIMS[:, 1]) / GLYPH_H)
-            k = int(np.argmax(1.0 - d - pen))
+            k = int(np.argmax(1.0 - d - _dims_penalty(w_px, h_px, p)))
             ch = _TEMPLATE_CHARS[k]
             chars.append(ch)
             confs.append(float(np.clip((1.0 - d[k]) * 100.0, 0.0, 100.0)))
@@ -579,15 +586,34 @@ def _init_engines() -> dict:
         pass
     try:  # pragma: no cover - not installed in this sandbox
         from paddleocr import PaddleOCR
-        paddle = PaddleOCR(lang="en", use_angle_cls=False, show_log=False)
+        try:  # 2.x ctor kwargs; removed in 3.x
+            paddle = PaddleOCR(lang="en", use_angle_cls=False,
+                               show_log=False)
+        except TypeError:
+            paddle = PaddleOCR(lang="en")
 
         def _ocr_paddle(img: np.ndarray) -> tuple[str, float, list[float]]:
-            # reference :466-478: result rows are (bbox, (text, conf)),
-            # conf on 0-1; region confidences mirror easyocr's contract
-            results = paddle.ocr(img, cls=False) or []
-            lines = [r for page in results for r in (page or [])]
-            texts = [t for _b, (t, _c) in lines]
-            confs = [float(c) * 100.0 for _b, (_t, c) in lines]
+            # reference :466-478: 2.x rows are (bbox, (text, conf)) with
+            # conf on 0-1; 3.x predict() yields dict-like OCRResult pages
+            # with rec_texts/rec_scores. Region confidences mirror the
+            # easyocr contract either way.
+            try:
+                results = paddle.ocr(img, cls=False) or []
+            except TypeError:  # 3.x dropped the cls kwarg
+                results = paddle.ocr(img) or []
+            texts: list[str] = []
+            confs: list[float] = []
+            for page in results:
+                if page is None:
+                    continue
+                if hasattr(page, "get") or isinstance(page, dict):  # 3.x
+                    texts.extend(page.get("rec_texts") or [])
+                    confs.extend(float(c) * 100.0
+                                 for c in (page.get("rec_scores") or []))
+                else:                                               # 2.x
+                    for _box, (t, c) in page:
+                        texts.append(t)
+                        confs.append(float(c) * 100.0)
             conf = (sum(confs) / len(confs) / 100.0) if confs else 0.0
             return " ".join(texts), conf, confs
         engines["paddleocr"] = _ocr_paddle

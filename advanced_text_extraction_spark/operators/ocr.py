@@ -81,7 +81,7 @@ def ocr_images(df: DataFrame, id_col: str = "media_id",
 
 def ocr_pdf_bytes(pdf_bytes: bytes, engine: str = "auto",
                   preprocess: bool = True
-                  ) -> tuple[str, float, list[float]]:
+                  ) -> tuple[str, float, list[float | None]]:
     """OCR every page image of a scanned PDF.
 
     Returns (text, mean_page_confidence, page_confs): pages joined

@@ -202,6 +202,37 @@ def test_bar_only_page_distinguishes_dash_from_underscore():
     assert recognize(render_page("---", scale=2))["text"] == "---"
 
 
+def test_wide_rule_artifact_does_not_poison_page_scale():
+    """A full-width horizontal rule (letterhead bar, table border,
+    scanner streak) is wider than any glyph can be, so a max-based
+    scale floor would jump ~10x and wipe out the real text. The floor
+    is median-anchored; the rule itself may read as a bar char but the
+    text must survive."""
+    import numpy as np
+
+    img = render_page("HELLO WORLD\nSECOND LINE", scale=3)
+    h, w = img.shape
+    ruled = np.full((h + 12, w), 255, dtype=np.uint8)
+    ruled[:h] = img
+    ruled[h + 4:h + 7, :] = 0
+    text = recognize(ruled)["text"]
+    assert text.startswith("HELLO WORLD\nSECOND LINE")
+
+
+def test_line_gap_speck_joins_neighbor_not_phantom_line():
+    """A residual speck in the line gap must merge into the nearer line
+    band (the pre-existing behavior), not survive as its own band and be
+    emitted as a phantom 100-confidence text line."""
+    import numpy as np
+
+    img = render_page("HELLO WORLD\nSECOND LINE", scale=3)
+    speck = img.copy()
+    speck[30:32, 40:42] = 0          # 2x2 speck in the inter-line gap
+    res = recognize(speck)
+    assert res["n_lines"] == 2       # no phantom third line
+    assert res["text"].endswith("SECOND LINE")
+
+
 # ------------------------------------------------- image-less PDF pages
 
 def test_imageless_page_does_not_drag_confidence():
