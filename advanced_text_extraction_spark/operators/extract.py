@@ -246,23 +246,29 @@ def _make_kernel(dedupe_keys: tuple[str, ...] | None,
                 pdf = pdf[mask]
                 if pdf.empty:
                     continue
-            t0 = time.perf_counter_ns()
-            recs = [extract_one(p) for p in pdf["text"]]
-            wall_us = (time.perf_counter_ns() - t0) // 1000
-            per_row_us = wall_us // max(len(recs), 1)
+            # true per-row kernel time (one perf_counter pair per row is
+            # ~100ns against ms-scale extraction — r1 flagged the
+            # per-batch MEAN here as making lineage wall_ms approximate)
+            recs = []
+            row_us = []
+            clock = time.perf_counter_ns
+            for payload in pdf["text"]:
+                t0 = clock()
+                recs.append(extract_one(payload))
+                row_us.append((clock() - t0) // 1000)
             out = pdf.copy()
             for col in ("content_type", "extracted_text", "spans",
                         "confidence", "language", "status", "error",
                         "metadata", "extractor_version"):
                 out[col] = [r[col] for r in recs]
-            out["proc_us"] = per_row_us
+            out["proc_us"] = row_us
             if stats_acc is not None and bucket_col in out.columns:
                 upd: dict[int, tuple] = {}
                 for b, g in out.groupby(bucket_col, sort=False):
                     raw = sum(int(m["raw_len"]) for m in g["metadata"])
                     errs = int((g["status"] == "error").sum())
                     upd[int(b)] = (len(g), raw, errs,
-                                   per_row_us * len(g))
+                                   int(g["proc_us"].sum()))
                 stats_acc.add(upd)
             yield out
 
