@@ -207,6 +207,36 @@ def _ink_bbox_cell(mask: np.ndarray
     return y0, x0, x1 - x0, y1 - y0, cell
 
 
+# Content-keyed glyph feature cache, shared across pages and documents
+# within a (reused) worker process: the box-resample + template-distance
+# pair is the dominant OCR cost (~90% of recognize()), and a corpus set
+# in one font at one scale repeats the same few dozen ink patterns
+# endlessly — every 'E' at scale 3 is byte-identical. Keyed by the
+# bbox-cropped bit pattern, so position never aliases. Bounded clear-on-
+# overflow like the minhash digest cache (~13 MB at the cap); worst case
+# (every glyph unique — heavy noise) degrades to the uncached cost plus
+# one dict miss.
+_CELL_CACHE: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
+_CELL_CACHE_MAX = 1 << 14
+
+
+def _cell_and_dist(crop: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(7x5 resampled bitmap, per-template distance vector) of a
+    bbox-cropped ink pattern, content-cached."""
+    key = (crop.shape[0].to_bytes(2, "big")
+           + crop.shape[1].to_bytes(2, "big")
+           + np.packbits(crop).tobytes())
+    hit = _CELL_CACHE.get(key)
+    if hit is None:
+        if len(_CELL_CACHE) >= _CELL_CACHE_MAX:
+            _CELL_CACHE.clear()
+        cell = _box_resample(crop.astype(np.float64), GLYPH_H, GLYPH_W)
+        d = np.abs(_T_FEATS - cell.ravel()[None, :]).mean(axis=1)
+        hit = (cell, d)
+        _CELL_CACHE[key] = hit
+    return hit
+
+
 def _build_templates() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-template (bbox bitmap, bbox dims in cols/rows, top ink row).
 
@@ -363,13 +393,15 @@ def recognize(img: np.ndarray, ink_threshold: int = 128) -> dict:
         key = (a, b, x0, x1)
         f = _feat_cache.get(key)
         if f is None:
-            g = _ink_bbox_cell(ink[a:b, x0:x1])
-            if g is None:
+            sub = ink[a:b, x0:x1]
+            ys, xs = np.nonzero(sub)
+            if ys.size == 0:
                 f = (None,)
             else:
-                gy0, _gx, w_px, h_px, cell = g
-                d = np.abs(_T_FEATS - cell.ravel()[None, :]).mean(axis=1)
-                f = (a + gy0, w_px, h_px, cell, d)
+                gy0, gy1 = int(ys.min()), int(ys.max()) + 1
+                gx0, gx1 = int(xs.min()), int(xs.max()) + 1
+                cell, d = _cell_and_dist(sub[gy0:gy1, gx0:gx1])
+                f = (a + gy0, gx1 - gx0, gy1 - gy0, cell, d)
             _feat_cache[key] = f
         return f if f[0] is not None else None
 
