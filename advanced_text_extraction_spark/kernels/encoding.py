@@ -18,6 +18,30 @@ work with no shuffle; the Spark wrapper is an Arrow-batched pandas UDF
 
 from __future__ import annotations
 
+# C0 control characters that never occur in real text. \t \n \r \x0b \x0c
+# are legitimate whitespace and \x1b (ESC) opens ANSI color sequences —
+# normal in the terminal/agent transcripts this pipeline ingests.
+_BAD_CONTROLS = frozenset(
+    chr(c) for c in range(0x20)
+    if chr(c) not in "\t\n\r\x0b\x0c\x1b") | {"\x7f"}
+
+
+def _plausible_text(text: str, sample: int = 4096) -> bool:
+    """Does a decoded string look like LANGUAGE rather than an accident
+    of byte values? Two gates over a bounded sample: no forbidden
+    control characters, and a ≥60% ratio of letters/digits/whitespace/
+    sentence punctuation (any script — CJK/Cyrillic letters count)."""
+    s = text[:sample]
+    if not s:
+        return True
+    good = 0
+    for ch in s:
+        if ch in _BAD_CONTROLS:
+            return False
+        if ch.isalnum() or ch.isspace() or ch in ".,;:'\"!?()-/":
+            good += 1
+    return good >= 0.6 * len(s)
+
 _BOMS: list[tuple[bytes, str]] = [
     # order matters: the UTF-32-LE BOM contains the UTF-16-LE BOM as a
     # prefix. Labels are Python's BOM-AWARE codecs ('utf-16', 'utf-32',
@@ -36,10 +60,20 @@ def detect_encoding(data: bytes | None) -> tuple[str, float]:
 
     Deterministic decision ladder:
     1. BOM present → that codec, confidence 1.0.
-    2. NUL-free and strict UTF-8 decode succeeds → 'ascii' (1.0) if
+    2. NUL-free and strict UTF-8 decode succeeds → 'ascii' if
        7-bit-pure else 'utf-8' (0.99 — valid multi-byte UTF-8 is a
        near-certain signal; the NUL gate keeps BOM-less UTF-16 Latin
        text, which is byte-wise valid UTF-8, out of this branch).
+       Full confidence additionally requires the DECODED text to pass
+       a plausibility gate (no C0 control chars, ≥60% wordlike — see
+       ``_plausible_text``), else 0.6: BOM-less UTF-16 CJK can be
+       byte-wise valid ASCII ('你好' → b'``O}Y``') or even valid
+       multi-byte UTF-8, and the gate is what keeps that mojibake from
+       sailing through at full confidence — implausible code units
+       surface as stray symbols and control characters. chardet's
+       frequency models remain the answer where provenance is truly
+       unknown; here the codec always round-trips and the CONFIDENCE
+       carries the doubt.
     3. ≥30% NUL bytes concentrated on one parity → BOM-less UTF-16
        (0.7): Latin-script UTF-16 text is ~every-other-byte NUL.
     4. latin-1 (0.5): total function — every byte string decodes — the
@@ -57,13 +91,14 @@ def detect_encoding(data: bytes | None) -> tuple[str, float]:
         # UTF-16 Latin-script string would pass a strict UTF-8 decode.
         # Gating on its absence keeps the ladders disjoint.
         try:
-            data.decode("utf-8", errors="strict")
+            decoded = data.decode("utf-8", errors="strict")
         except UnicodeDecodeError:
             pass
         else:
+            plausible = _plausible_text(decoded)
             if data.isascii():
-                return "ascii", 1.0
-            return "utf-8", 0.99
+                return "ascii", 1.0 if plausible else 0.6
+            return "utf-8", 0.99 if plausible else 0.6
     n = len(data)
     even_nul = data[0::2].count(0)
     odd_nul = data[1::2].count(0)

@@ -206,13 +206,18 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     re-entry (blocks for the RETURNED plan must outlive this function,
     so eager unpersist isn't possible) — repeated calls in one session
     then pin at most ONE band-keys table, not an unbounded accumulation
-    of block-manager entries."""
+    of block-manager entries. CONCURRENCY: if a second call races a
+    still-executing first join, the first's evicted blocks are
+    recomputed from lineage (Spark's cache-miss semantics) — correct
+    results, but the double-kernel cost returns for that job; pipelines
+    needing concurrent LSH passes should write band keys to a durable
+    intermediate table instead (the 100 TB deployment shape below)."""
     from pyspark.storagelevel import StorageLevel
 
     global _last_band_keys
     if _last_band_keys is not None:
         try:
-            _last_band_keys.unpersist()
+            _last_band_keys.unpersist(blocking=False)
         except Exception:
             pass  # session of the old handle may be gone
     keys = lsh_band_keys(df, id_col, text_col, n_perms, rows_per_band) \
@@ -430,7 +435,13 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                        .join(labels.select("id", F.col("comp").alias("oc")),
                              "id")
                        .filter(F.col("nc") != F.col("oc")).count())
-        labels.unpersist()
+        # NOTE: a localCheckpoint-ed frame's blocks are NOT freed by
+        # DataFrame.unpersist() (that only uncaches persist()-registered
+        # plans); they are reclaimed by the ContextCleaner once the
+        # superseded round's RDD reference is dropped — which the
+        # rebinding below does (python ref -> py4j detach -> JVM GC).
+        # Labels are narrow (id, comp) pairs, so the transient overlap
+        # of two rounds' blocks is small next to the edge list.
         labels = new
         if changed == 0:
             break

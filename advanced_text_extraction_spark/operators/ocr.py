@@ -79,6 +79,24 @@ def ocr_images(df: DataFrame, id_col: str = "media_id",
 # PDF OCR (S5) + the P3 fallback hook
 # ---------------------------------------------------------------------------
 
+def _ocr_pdf_page_stream(pdf_bytes: bytes, engine: str, preprocess: bool):
+    """Yield (page_idx, joined_text, confidence) per PDF page — the ONE
+    per-page decode+OCR loop behind both the scalar S5 path
+    (``ocr_pdf_bytes``) and the page-row operator (``pdf_ocr_pages``).
+    Confidence is None for a page with no embedded images: it has
+    nothing to score, and a 0.0 would drag every downstream mean."""
+    for p, images in enumerate(extract_page_images(pdf_bytes)):
+        texts = []
+        confs = []
+        for (w, h, raw) in images:
+            arr = decode_raw_gray(raw, w, h)
+            res = ocr_image(arr, engine=engine, preprocess=preprocess)
+            texts.append(res["text"])
+            confs.append(float(res["confidence"]))
+        yield (p, "\n".join(t for t in texts if t),
+               float(np.mean(confs)) if confs else None)
+
+
 def ocr_pdf_bytes(pdf_bytes: bytes, engine: str = "auto",
                   preprocess: bool = True
                   ) -> tuple[str, float, list[float | None]]:
@@ -92,16 +110,10 @@ def ocr_pdf_bytes(pdf_bytes: bytes, engine: str = "auto",
     fully-OCR'd scan every time a blank page appears)."""
     page_texts: list[str] = []
     page_confs: list[float | None] = []
-    for images in extract_page_images(pdf_bytes):
-        texts = []
-        confs = []
-        for (w, h, raw) in images:
-            arr = decode_raw_gray(raw, w, h)
-            res = ocr_image(arr, engine=engine, preprocess=preprocess)
-            texts.append(res["text"])
-            confs.append(float(res["confidence"]))
-        page_texts.append("\n".join(t for t in texts if t))
-        page_confs.append(float(np.mean(confs)) if confs else None)
+    for _p, text, conf in _ocr_pdf_page_stream(pdf_bytes, engine,
+                                               preprocess):
+        page_texts.append(text)
+        page_confs.append(conf)
     text = "\n\n".join(page_texts)
     scored = [c for c in page_confs if c is not None]
     conf = float(np.mean(scored)) if scored else 0.0
@@ -151,20 +163,9 @@ def pdf_ocr_pages(df: DataFrame, id_col: str = "doc_id",
                 # partially-OCR'd doc as healthy.
                 doc_rows = []
                 try:
-                    for p, images in enumerate(
-                            extract_page_images(bytes(payload))):
-                        texts, confs = [], []
-                        for (w, h, raw) in images:
-                            arr = decode_raw_gray(raw, w, h)
-                            res = ocr_image(arr, engine=engine,
-                                            preprocess=preprocess)
-                            texts.append(res["text"])
-                            confs.append(float(res["confidence"]))
-                        doc_rows.append((int(did), p,
-                                         "\n".join(t for t in texts if t),
-                                         float(np.mean(confs)) if confs
-                                         else None,  # image-less page
-                                         "ok"))
+                    for p, text, conf in _ocr_pdf_page_stream(
+                            bytes(payload), engine, preprocess):
+                        doc_rows.append((int(did), p, text, conf, "ok"))
                 except Exception:
                     doc_rows = [(int(did), -1, "", 0.0, "error")]
                 rows.extend(doc_rows)

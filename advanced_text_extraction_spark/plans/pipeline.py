@@ -135,7 +135,8 @@ def run_extract_job(
     # O(n_files), vs. the previous read-back which re-scanned every
     # written row (a second full pass of the output per run at 100 TB).
     acc = stats_acc.value
-    footer_rows = catalog.bucket_row_counts(out_root) if acc else {}
+    footer_rows = catalog.bucket_row_counts(out_root, set(acc)) \
+        if acc else {}
     lineage_rows = [
         (b, int(rows), int(raw_bytes), int(footer_rows.get(b, rows)),
          int(errors), int(wall_us // 1000))

@@ -52,13 +52,20 @@ def read_extracted(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(extracted_path(root))
 
 
-def bucket_row_counts(root: str) -> dict[int, int]:
+def bucket_row_counts(root: str,
+                      buckets: set[int] | None = None) -> dict[int, int]:
     """Rows on disk per bucket, from parquet FOOTER metadata only — no
     Spark job, no data scan: O(n_files) driver-side metadata reads, and
     n_files scales with bucket count × task count, not data size. This is
     the authoritative ``output_rows`` source for lineage (VERDICT r1 #4:
     lineage must not re-scan the table it just wrote). On Iceberg the
     equivalent is snapshot summary / manifest stats.
+
+    ``buckets`` restricts footer reads to the buckets THIS run wrote:
+    a resume run that processes 1 of 32 buckets must not pay footer
+    I/O for the 31 untouched ones (on an object store that is real
+    per-file round-trip latency, and the counts would be discarded
+    anyway). The directory listing itself stays one recursive call.
 
     Filesystem access goes through ``pyarrow.fs.FileSystem.from_uri`` so
     the same code reads footers on ``file://``, ``s3://``, ``hdfs://`` …
@@ -99,6 +106,8 @@ def bucket_row_counts(root: str) -> dict[int, int]:
         if not parts:
             continue
         b = int(parts[-1].split("=", 1)[1])
+        if buckets is not None and b not in buckets:
+            continue
         with filesystem.open_input_file(info.path) as f:
             counts[b] = counts.get(b, 0) + pq.ParquetFile(f) \
                 .metadata.num_rows

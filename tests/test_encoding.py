@@ -30,6 +30,21 @@ def test_bom_wins():
 
 def test_ascii_and_utf8():
     assert detect_encoding(b"plain ascii transcript") == ("ascii", 1.0)
+
+
+def test_symbol_heavy_ascii_is_low_confidence():
+    """Short BOM-less UTF-16 CJK whose code units all land below 0x80 is
+    byte-wise perfect ASCII mojibake ('你好' -> b'`O}Y'); the wordlike
+    gate must keep it from claiming full confidence. Longer CJK UTF-16
+    carries bytes >= 0x80 and already lands in the flagged fallback."""
+    raw = "你好".encode("utf-16-le")
+    enc, conf = detect_encoding(raw)
+    assert enc == "ascii" and conf < 1.0      # flagged, still roundtrips
+    long_raw = ("你好世界欢迎光临" * 4).encode("utf-16-le")
+    _enc2, conf2 = detect_encoding(long_raw)
+    assert conf2 <= 0.7                        # never full confidence
+    # real prose keeps full confidence
+    assert detect_encoding(b"Normal English sentence.")[1] == 1.0
     enc, conf = detect_encoding(SAMPLE.encode("utf-8"))
     assert enc == "utf-8" and conf == 0.99
     assert decode_bytes(SAMPLE.encode("utf-8"))[0] == SAMPLE
