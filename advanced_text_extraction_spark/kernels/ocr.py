@@ -10,9 +10,12 @@ slot is filled by a REAL engine built here from first principles:
 - a public-domain-style 5x7 fixed-pitch bitmap font (A-Z 0-9 + punctuation)
 - ``render_page``: text -> uint8 grayscale page image (the synth/fixture
   side — also what a rasterized "scanned" PDF page embeds)
-- ``recognize``: line segmentation by row projection, glyph segmentation
-  by column-gap analysis, bbox-normalized template matching with a
-  position prior, per-token confidences
+- ``recognize``: page-level scale estimation (every glyph run votes on
+  the scales under which its bbox matches a template's integer dims),
+  line segmentation by row projection, glyph segmentation by column-gap
+  analysis, bbox-normalized template matching with a dims prior at the
+  estimated scale, grid-row resolution of '-' vs '_', per-token
+  confidences
 
 Contracts kept from the reference:
 - token confidences are 0-100 and only ``conf > 0`` tokens count
