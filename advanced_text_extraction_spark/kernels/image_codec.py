@@ -69,9 +69,15 @@ def decode_pnm(buf: bytes) -> np.ndarray:
     (w, h, maxval), i = _pnm_tokens(buf, 2, 3)
     if maxval <= 0 or maxval > 255:
         raise ImageError(f"unsupported netpbm maxval {maxval}")
+    if w <= 0 or h <= 0:
+        raise ImageError(f"bad netpbm dimensions {w}x{h}")
     n = w * h * nchan
     if magic in (b"P5", b"P6"):
         i += 1  # single whitespace byte after maxval
+        if len(buf) - i < n:
+            # np.frombuffer would raise a bare ValueError — keep the
+            # typed-error contract for truncated payloads
+            raise ImageError("truncated netpbm pixel data")
         px = np.frombuffer(buf, dtype=np.uint8, count=n, offset=i)
     else:
         vals, _ = _pnm_tokens(buf, i, n)
@@ -94,6 +100,16 @@ def encode_pgm(arr: np.ndarray) -> bytes:
 # BMP (BITMAPINFOHEADER only — the variant every writer emits)
 # ---------------------------------------------------------------------------
 
+def _bounded_read(buf: bytes, count: int, offset: int,
+                  what: str) -> np.ndarray:
+    """np.frombuffer with the codec's typed-error contract: a count or
+    offset that a corrupt header pushes past the buffer must raise
+    ImageError, not numpy's bare ValueError."""
+    if count < 0 or offset < 0 or len(buf) - offset < count:
+        raise ImageError(f"truncated BMP {what}")
+    return np.frombuffer(buf, dtype=np.uint8, count=count, offset=offset)
+
+
 def decode_bmp(buf: bytes) -> np.ndarray:
     if buf[:2] != b"BM":
         raise ImageError("not a BMP payload")
@@ -110,19 +126,23 @@ def decode_bmp(buf: bytes) -> np.ndarray:
         raise ImageError(f"compressed BMP (type {compression}) unsupported")
     top_down = h_signed < 0
     h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise ImageError(f"bad BMP dimensions {w}x{h}")
     row_bytes = (w * bpp // 8 + 3) & ~3
     if bpp == 8:
         # palette: 4-byte BGRA entries right after the info header
         pal_off = 14 + hdr_size
         n_colors = struct.unpack_from("<I", buf, 46)[0] or 256
-        pal = np.frombuffer(buf, dtype=np.uint8, count=n_colors * 4,
-                            offset=pal_off).reshape(n_colors, 4)
-        idx = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * h,
-                            offset=data_off).reshape(h, row_bytes)[:, :w]
+        pal = _bounded_read(buf, n_colors * 4, pal_off,
+                            "palette").reshape(n_colors, 4)
+        idx = _bounded_read(buf, row_bytes * h, data_off,
+                            "pixel data").reshape(h, row_bytes)[:, :w]
+        if n_colors < 256 and int(idx.max(initial=0)) >= n_colors:
+            raise ImageError("BMP palette index out of range")
         bgr = pal[idx][:, :, :3]
     elif bpp == 24:
-        raw = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * h,
-                            offset=data_off).reshape(h, row_bytes)
+        raw = _bounded_read(buf, row_bytes * h, data_off,
+                            "pixel data").reshape(h, row_bytes)
         bgr = raw[:, : w * 3].reshape(h, w, 3)
     else:
         raise ImageError(f"unsupported BMP bpp {bpp}")
@@ -202,14 +222,22 @@ def decode_png(buf: bytes) -> np.ndarray:
     palette: np.ndarray | None = None
     for ctype, data in _png_chunks(buf):
         if ctype == b"IHDR":
+            if len(data) < 13:
+                raise ImageError("truncated PNG IHDR")
             w, h, bitdepth, colortype, _comp, _filt, interlace = \
-                struct.unpack(">IIBBBBB", data)
+                struct.unpack(">IIBBBBB", data[:13])
         elif ctype == b"PLTE":
+            if len(data) % 3:
+                raise ImageError("malformed PNG PLTE")
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
     if w is None:
         raise ImageError("PNG missing IHDR")
+    if w <= 0 or h <= 0 or w * h > (1 << 28):
+        # the size cap turns a corrupt-header 4-billion-pixel allocation
+        # into a typed error instead of an executor OOM
+        raise ImageError(f"bad PNG dimensions {w}x{h}")
     if bitdepth != 8 or interlace != 0:
         raise ImageError(
             f"unsupported PNG (bitdepth {bitdepth}, interlace {interlace})")
@@ -258,6 +286,8 @@ def decode_png(buf: bytes) -> np.ndarray:
     if colortype == 3:
         if palette is None:
             raise ImageError("paletted PNG missing PLTE")
+        if int(px[:, :, 0].max(initial=0)) >= len(palette):
+            raise ImageError("PNG palette index out of range")
         px = palette[px[:, :, 0]]
         nchan = 3
     elif colortype == 4:  # gray+alpha -> gray
