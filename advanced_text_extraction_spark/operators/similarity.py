@@ -146,8 +146,14 @@ def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_bits: int = 8) -> DataFrame:
     """Approximate top-k: score only the query's sign-LSH bucket.
-    On a stored table bucketed by this id the filter becomes partition
-    pruning; here it is a pushed-down scan filter."""
+
+    The bucket is COMPUTED from the vector per row, so parquet cannot
+    push the equality into the scan — it runs as a codegen'd Filter in
+    the scan's own stage, before the expensive cosine projection and
+    with no shuffle. The scale path is to materialize the bucket as a
+    partition/bucket column of the stored table (one `sign_bucket`
+    write-side projection); the same equality then becomes partition
+    pruning and only the query's bucket is ever READ."""
     qb = 0
     for d in range(n_bits):
         qb |= (1 << d) if query[d] >= 0 else 0

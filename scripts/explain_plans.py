@@ -47,6 +47,30 @@ AUDIT = [
     ("ocr_summary",
      "A6-shape aggregate over the OCR kernel output: partial+final "
      "hash agg above the same map-only kernel"),
+    ("ann_lsh_bucket_topk",
+     "sign-LSH ANN: the bucket is computed from the vector, so the "
+     "equality runs as a codegen'd Filter in the scan's stage (parquet "
+     "cannot push a computed predicate) — no shuffle, and the cosine "
+     "projection only ever sees the query's bucket. At corpus scale "
+     "the bucket is materialized as a partition column of the stored "
+     "table and the same equality becomes partition PRUNING (operator "
+     "docstring); all-pairs never happens either way"),
+    ("ivf_topk",
+     "IVF ANN: cell assignment is a pure projection (broadcast "
+     "centroid literals, fully codegen'd), the probe filter prunes to "
+     "nprobe cells BEFORE the similarity math, TakeOrdered replaces a "
+     "global sort"),
+    ("embedding_neardup_multiband",
+     "multi-band sign-LSH near-dup: per-band bucket self-joins unioned "
+     "then deduped (partial+final distinct). At this test SF Catalyst "
+     "broadcasts the self-join sides; on a corpus-scale table each "
+     "becomes a hash-keyed shuffle join on (band, bucket) — bucket "
+     "groups only, never all-pairs — and n_bits/n_bands scale with "
+     "corpus size (recommended_n_bits) so within-bucket pair work "
+     "stays bounded"),
+    ("path_functions",
+     "pathlib-parity column functions: pure regexp/string projections, "
+     "one WholeStageCodegen span, no exchange"),
 ]
 
 
