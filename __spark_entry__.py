@@ -292,8 +292,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- flagship end-to-end, oracle-checkable (plain+HTML payloads only;
     # every branch SQL-expressible — closes the r1 no_oracle gap; the
-    # PDF-inclusive variant stays value-gated in tests/test_golden.py) ----
+    # PDF-inclusive variant below adds the PDF branch via the fixed-
+    # payload constant, and tests/test_golden.py value-gates the general
+    # multi-payload case) ----
     q["extract_transcripts_e2e"] = _extract_e2e
+    q["extract_transcripts_e2e_pdf"] = _extract_e2e_pdf
     return q
 
 
@@ -307,6 +310,27 @@ def _extract_e2e(s: SparkSession, d: str) -> DataFrame:
     )
 
     tr = prepare(synth_transcripts(s, d, include_pdf=False), n_buckets=8)
+    out = extract(salted_repartition(tr, n_buckets=8, salt=2),
+                  dedupe_keys=("conv_id", "turn_idx"))
+    return W.restore_order(out).select(
+        "conv_id", "turn_idx", "content_type", "extracted_text",
+        "confidence", "status")
+
+
+def _extract_e2e_pdf(s: SparkSession, d: str) -> DataFrame:
+    """PDF-INCLUSIVE flagship e2e, still oracle-checkable: the synth's 5%
+    PDF slice is ONE fixed seeded payload, so its extracted text is a
+    constant the oracle replays as a literal (derived from the
+    independent ``oracle/extractor.py`` PDF twin, not from the engine).
+    This closes the last non-SQL-expressible branch at driver-oracle
+    level — base64 decode → PDF object/stream parse → layout → text all
+    run through the full salted pipeline and get hash-checked."""
+    from advanced_text_extraction_spark.plans.pipeline import (
+        prepare,
+        salted_repartition,
+    )
+
+    tr = prepare(synth_transcripts(s, d, include_pdf=True), n_buckets=8)
     out = extract(salted_repartition(tr, n_buckets=8, salt=2),
                   dedupe_keys=("conv_id", "turn_idx"))
     return W.restore_order(out).select(
@@ -953,6 +977,28 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'html' END AS content_type,
                CASE WHEN doc_id % 20 < 14 THEN {_NORM_SQL}
                     ELSE {_HTML_TEXT_SQL} END AS extracted_text,
+               CAST(CASE WHEN doc_id % 20 < 14 THEN 1.0
+                         ELSE 0.95 END AS DOUBLE) AS confidence,
+               'ok' AS status
+        FROM documents"""
+
+    # PDF-inclusive e2e: the 5% slice (doc_id % 20 >= 19) carries ONE
+    # fixed seeded PDF; its extracted text is this constant, verified
+    # against oracle/extractor.py's independent PDF parser (the literal
+    # below is the synth fixture's two text lines '\n'-joined — NOT
+    # engine output pasted back).
+    _PDF_CONST = ("'figure table caption result metric sample window "
+                  "stream' || chr(10) || 'alpha beta gamma delta report "
+                  "summary value line'")
+    o["extract_transcripts_e2e_pdf"] = f"""
+        SELECT 'conv-' || CAST(doc_id % 40 AS VARCHAR) AS conv_id,
+               CAST(doc_id // 40 AS INT) AS turn_idx,
+               CASE WHEN doc_id % 20 < 14 THEN 'text'
+                    WHEN doc_id % 20 < 19 THEN 'html'
+                    ELSE 'pdf' END AS content_type,
+               CASE WHEN doc_id % 20 < 14 THEN {_NORM_SQL}
+                    WHEN doc_id % 20 < 19 THEN {_HTML_TEXT_SQL}
+                    ELSE {_PDF_CONST} END AS extracted_text,
                CAST(CASE WHEN doc_id % 20 < 14 THEN 1.0
                          ELSE 0.95 END AS DOUBLE) AS confidence,
                'ok' AS status
