@@ -290,6 +290,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(F.avg("confidence"), 6).alias("avg_confidence"))
 
+    # ---- curation tier (Gopher/C4/RefinedWeb-style corpus filters over
+    # the extraction output; operators/curation.py) ----
+    from advanced_text_extraction_spark.operators import curation as C
+
+    q["repetition_stats"] = lambda s, d: C.repetition_stats(
+        _spread(_t(s, d, "documents")), "doc_id", "text")
+    q["gopher_quality_flags"] = lambda s, d: C.gopher_quality_flags(
+        _spread(_t(s, d, "documents")), "doc_id", "text")
+    # benchmark = every 41st doc: the flagged set must contain exactly the
+    # benchmark docs themselves (contamination 1.0) plus any true near-dups
+    q["decontaminate"] = lambda s, d: C.decontaminate(
+        _spread(_t(s, d, "documents")),
+        _t(s, d, "documents").filter(F.col("doc_id") % 41 == 0),
+        "doc_id", "text")
+    q["pii_redact"] = lambda s, d: C.pii_redact(
+        _synth_pii(_spread(_t(s, d, "documents"))), "doc_id", "text")
+    q["paragraph_dedup"] = lambda s, d: C.paragraph_dedup(
+        _synth_boiler(_spread(_t(s, d, "documents"))), "doc_id", "text")
+
     # ---- flagship end-to-end, oracle-checkable (plain+HTML payloads only;
     # every branch SQL-expressible — closes the r1 no_oracle gap; the
     # PDF-inclusive variant below adds the PDF branch via the fixed-
@@ -298,6 +317,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_transcripts_e2e"] = _extract_e2e
     q["extract_transcripts_e2e_pdf"] = _extract_e2e_pdf
     return q
+
+
+def _synth_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically salt each document with one email, one IPv4 and
+    one phone number so the redaction paths are actually exercised (the
+    synth corpus itself carries no PII)."""
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"), did.cast("string"),
+            F.lit("@ex-ample.org from "),
+            F.lit("10.0."), F.pmod(did, 256).cast("string"),
+            F.lit("."), F.pmod(did, 100).cast("string"),
+            F.lit(" or call +1 415 55"), F.pmod(did, 10).cast("string"),
+            F.lit(" 0199."),
+        ).alias("text"))
+
+
+def _synth_boiler(docs: DataFrame) -> DataFrame:
+    """Append a shared boilerplate paragraph to every 4th document — a hot
+    duplicate (n/4 copies of one hash) that the partial-agg dedup must
+    collapse map-side."""
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"),
+                        F.lit("\n\nSubscribe to our newsletter today.")))
+        .otherwise(F.col("text")).alias("text"))
 
 
 def _extract_e2e(s: SparkSession, d: str) -> DataFrame:
@@ -1003,4 +1052,145 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.95 END AS DOUBLE) AS confidence,
                'ok' AS status
         FROM documents"""
+
+    # ---- curation tier (operators/curation.py) ----
+    from advanced_text_extraction_spark.operators.curation import (
+        EMAIL_RE,
+        GOPHER_STOPWORDS,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    o["repetition_stats"] = """
+        WITH s AS (
+            SELECT doc_id,
+                   list_filter(string_split(coalesce(text, ''), chr(10)),
+                               x -> trim(x) <> '') AS ls,
+                   list_filter(string_split(coalesce(text, ''),
+                                            chr(10) || chr(10)),
+                               x -> trim(x) <> '') AS ps
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               round(CASE WHEN len(ls) > 0
+                     THEN 1 - len(list_distinct(ls)) / CAST(len(ls) AS DOUBLE)
+                     ELSE 0 END, 6) AS dup_line_frac,
+               round(CASE WHEN length(array_to_string(ls, '')) > 0
+                     THEN 1 - length(array_to_string(list_distinct(ls), ''))
+                          / CAST(length(array_to_string(ls, '')) AS DOUBLE)
+                     ELSE 0 END, 6) AS dup_char_frac,
+               CAST(len(ps) AS BIGINT) AS n_paras,
+               round(CASE WHEN len(ps) > 0
+                     THEN 1 - len(list_distinct(ps)) / CAST(len(ps) AS DOUBLE)
+                     ELSE 0 END, 6) AS dup_para_frac
+        FROM s"""
+
+    nw = _WORDS_EXPR
+    stop_sum = " + ".join(
+        f"CAST(regexp_matches(lower(text), '\\b{w}\\b') AS INT)"
+        for w in GOPHER_STOPWORDS)
+    o["gopher_quality_flags"] = f"""
+        WITH g AS (
+            SELECT doc_id,
+                   {nw} AS n_words,
+                   round(length(regexp_replace(text, '\\s', '', 'g'))
+                         / ({nw} + 1e-9), 6) AS mean_word_len,
+                   round(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                         / ({nw} + 1e-9), 6) AS symbol_ratio,
+                   len(regexp_extract_all(text, '(?m)^.*\\S')) AS n_nonblank,
+                   len(regexp_extract_all(text, '(?m)^\\s*[-*•]')) AS n_bul,
+                   len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…) *$'))
+                       AS n_ell,
+                   round(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))
+                         / ({nw} + 1e-9), 6) AS alpha_word_frac,
+                   CAST({stop_sum} AS BIGINT) AS stop_hits
+            FROM documents),
+        r AS (
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   round(n_bul / (n_nonblank + 1e-9), 6) AS bullet_frac,
+                   round(n_ell / (n_nonblank + 1e-9), 6) AS ellipsis_frac,
+                   alpha_word_frac, stop_hits
+            FROM g)
+        SELECT *,
+               n_words BETWEEN 50 AND 100000 AS flag_words,
+               mean_word_len BETWEEN 3.0 AND 10.0 AS flag_mean_word_len,
+               symbol_ratio <= 0.1 AS flag_symbol_ratio,
+               bullet_frac <= 0.9 AS flag_bullet,
+               ellipsis_frac <= 0.3 AS flag_ellipsis,
+               alpha_word_frac >= 0.8 AS flag_alpha_words,
+               stop_hits >= 2 AS flag_stopwords,
+               (n_words BETWEEN 50 AND 100000)
+               AND (mean_word_len BETWEEN 3.0 AND 10.0)
+               AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+               AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+               AND stop_hits >= 2 AS gopher_keep
+        FROM r"""
+
+    o["decontaminate"] = _shingles + """,
+        bench AS (SELECT DISTINCT shingle FROM shin WHERE doc_id % 41 = 0),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM shin GROUP BY doc_id),
+        hit AS (SELECT s.doc_id, count(*) AS n_contaminated
+                FROM shin s JOIN bench USING (shingle) GROUP BY s.doc_id)
+        SELECT t.doc_id, t.n_grams,
+               coalesce(h.n_contaminated, 0) AS n_contaminated,
+               round(coalesce(h.n_contaminated, 0)
+                     / CAST(t.n_grams AS DOUBLE), 6) AS contamination,
+               round(coalesce(h.n_contaminated, 0)
+                     / CAST(t.n_grams AS DOUBLE), 6) >= 0.2 AS flagged
+        FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id"""
+
+    o["pii_redact"] = f"""
+        WITH salted AS (
+            SELECT doc_id,
+                   text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                        || '@ex-ample.org from 10.0.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.'
+                        || CAST(doc_id % 100 AS VARCHAR)
+                        || ' or call +1 415 55'
+                        || CAST(doc_id % 10 AS VARCHAR) || ' 0199.' AS t
+            FROM documents),
+        s1 AS (SELECT doc_id,
+                      len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+                      regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+               FROM salted),
+        s2 AS (SELECT doc_id, n_emails,
+                      len(regexp_extract_all(t1, '{IPV4_RE}')) AS n_ips,
+                      regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+               FROM s1),
+        s3 AS (SELECT doc_id, n_emails, n_ips,
+                      len(regexp_extract_all(t2, '{PHONE_RE}')) AS n_phones,
+                      regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS t3
+               FROM s2)
+        SELECT doc_id, t3 AS redacted,
+               CAST(n_emails AS BIGINT) AS n_emails,
+               CAST(n_ips AS BIGINT) AS n_ips,
+               CAST(n_phones AS BIGINT) AS n_phones
+        FROM s3"""
+
+    o["paragraph_dedup"] = """
+        WITH boiler AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN text || chr(10) || chr(10)
+                             || 'Subscribe to our newsletter today.'
+                        ELSE text END AS t
+            FROM documents),
+        p AS (
+            SELECT doc_id, CAST(i - 1 AS INT) AS para_idx,
+                   md5(part) AS para_hash
+            FROM (SELECT doc_id,
+                         unnest(string_split(coalesce(t, ''),
+                                             chr(10) || chr(10))) AS part,
+                         generate_subscripts(string_split(coalesce(t, ''),
+                                             chr(10) || chr(10)), 1) AS i
+                  FROM boiler)
+            WHERE trim(part) <> '')
+        SELECT para_hash, n_copies, doc_id AS keeper_id,
+               para_idx AS keeper_idx
+        FROM (SELECT para_hash, doc_id, para_idx,
+                     count(*) OVER (PARTITION BY para_hash) AS n_copies,
+                     row_number() OVER (PARTITION BY para_hash
+                                        ORDER BY doc_id, para_idx) AS rn
+              FROM p)
+        WHERE rn = 1"""
     return o

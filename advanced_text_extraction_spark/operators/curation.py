@@ -1,0 +1,250 @@
+"""Corpus-curation operators for LLM training-data pipelines: repetition
+signals, Gopher-style quality gates, benchmark decontamination, PII
+redaction, corpus-wide paragraph dedup.
+
+The reference extracts text (`/root/reference/text_extractor.py`); it does
+not curate it. These are the standard downstream stages (Gopher §A1 /
+C4 / RefinedWeb-style) that a 100 TB extraction output feeds before
+training, expressed Spark-first:
+
+- per-document signals (`repetition_stats`, `gopher_quality_flags`,
+  `pii_redact`) are pure native column algebra — map-only, zero shuffles,
+  inside WholeStageCodegen (array/HOF expressions are interpreted JVM-side
+  but never leave the executor);
+- corpus-wide decisions shuffle exactly once, partial-agg-friendly:
+  `paragraph_dedup` is a hash-keyed groupBy whose map-side combine
+  collapses hot boilerplate paragraphs before the exchange (skew-proof by
+  construction — no window over a hot key), `decontaminate` broadcasts the
+  benchmark n-gram set (eval suites are ~10^5 grams — tiny next to the
+  corpus) so the corpus side never shuffles on content.
+
+Every operator is SQL-expressible and oracle-gated (see
+``__spark_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_count
+from .dedup import shingle_array, word_shingles
+
+# Java regex and RE2 (the DuckDB oracle) agree on every construct used
+# here: literal classes, \b, \d, \S, bounded quantifiers, (?m). No
+# lookbehind anywhere — RE2 does not support it.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d[\d -]{6,}\d"
+
+# Gopher-rule thresholds (Rae et al. 2021, appendix A1.1)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _nonblank(parts):
+    return F.filter(parts, lambda x: F.trim(x) != "")
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition signals (Gopher A1.1 repetition filters):
+    duplicate-line fraction, duplicate-line *character* fraction (chars in
+    occurrences beyond the first — order-invariant, so list_distinct
+    ordering differences between engines can't bite), duplicate-paragraph
+    fraction. Blank-after-trim lines/paragraphs are excluded.
+
+    Map-only: each document's arrays never leave its row, so this runs at
+    scan speed on the full corpus — no explode, no shuffle."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = _nonblank(F.split(c, "\n", -1))
+    paras = _nonblank(F.split(c, "\n\n", -1))
+    dlines = F.array_distinct(lines)
+    dparas = F.array_distinct(paras)
+    n_lines = F.size(lines)
+    n_paras = F.size(paras)
+    chars = F.length(F.array_join(lines, ""))
+    dchars = F.length(F.array_join(dlines, ""))
+
+    def frac(extra, total):
+        return F.round(
+            F.when(total > 0, 1 - extra / total.cast("double"))
+            .otherwise(F.lit(0.0)), 6)
+
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        frac(F.size(dlines), n_lines).alias("dup_line_frac"),
+        frac(dchars, chars).alias("dup_char_frac"),
+        n_paras.cast("long").alias("n_paras"),
+        frac(F.size(dparas), n_paras).alias("dup_para_frac"),
+    )
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str,
+                         text_col: str) -> DataFrame:
+    """Gopher quality-gate signals + per-rule booleans + the combined keep
+    decision (Rae et al. 2021 appendix A1.1): word-count bounds, mean word
+    length bounds, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, ≥2 distinct common English stopwords.
+
+    All signals are single-pass regexp_count / length expressions — fully
+    codegen'd, no explode. Each ratio is rounded to 6dp BEFORE its flag
+    comparison so Spark and the SQL oracle take the same branch at
+    threshold boundaries."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_words = word_count(c)
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    mean_wl = F.round(nonspace / (n_words + 1e-9), 6)
+    sym_ratio = F.round(
+        F.regexp_count(c, F.lit(r"#|\.\.\.|…")) / (n_words + 1e-9), 6)
+    n_nonblank = F.regexp_count(c, F.lit(r"(?m)^.*\S"))
+    bullet_frac = F.round(
+        F.regexp_count(c, F.lit(r"(?m)^\s*[-*•]"))
+        / (n_nonblank + 1e-9), 6)
+    ellipsis_frac = F.round(
+        F.regexp_count(c, F.lit(r"(?m)(\.\.\.|…) *$"))
+        / (n_nonblank + 1e-9), 6)
+    # one match per \S+ token containing a letter (greedy \S* cannot cross
+    # whitespace, so matches and tokens are 1:1 in both regex engines)
+    alpha_frac = F.round(
+        F.regexp_count(c, F.lit(r"\S*[A-Za-z]\S*")) / (n_words + 1e-9), 6)
+    low = F.lower(c)
+    stop_hits = sum(
+        (low.rlike(rf"\b{w}\b").cast("int") for w in GOPHER_STOPWORDS),
+        F.lit(0)).cast("long")
+
+    flags = {
+        "flag_words": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "flag_mean_word_len": (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN),
+        "flag_symbol_ratio": sym_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "flag_bullet": bullet_frac <= GOPHER_MAX_BULLET_FRAC,
+        "flag_ellipsis": ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC,
+        "flag_alpha_words": alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC,
+        "flag_stopwords": stop_hits >= 2,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("gopher_keep"),
+    )
+
+
+def decontaminate(df: DataFrame, bench: DataFrame, id_col: str,
+                  text_col: str, k: int = 3,
+                  threshold: float = 0.2) -> DataFrame:
+    """Benchmark decontamination: fraction of each training document's
+    k-word shingles that appear anywhere in the benchmark/eval corpus
+    (the GPT-3/PaLM-style n-gram-overlap test). Docs with fewer than k
+    words carry no shingles and emit no row (they cannot be contaminated
+    by n-gram evidence).
+
+    Scale shape: the benchmark shingle set is broadcast (eval suites are
+    orders of magnitude smaller than the corpus), so the training side is
+    joined map-side with no content shuffle; per-doc gram totals are
+    row-local (the distinct-gram array is computed in the projection —
+    no aggregate). The only exchanges move slim (id, count) rows: the
+    hit-count aggregation (partial-aggregated to ≤1 row per doc per
+    partition) and its join back onto the totals."""
+    base = df.select(
+        F.col(id_col), shingle_array(F.col(text_col), k).alias("grams")
+    ).where(F.size("grams") > 0)
+    bench_set = word_shingles(bench, id_col, text_col, k) \
+        .select("shingle").distinct()
+    # per-doc totals are row-local (no aggregate): the gram array IS the set
+    totals = base.select(
+        F.col(id_col), F.size("grams").cast("long").alias("n_grams"))
+    hits = (
+        base.select(F.col(id_col), F.explode("grams").alias("shingle"))
+        .join(F.broadcast(bench_set), "shingle")
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    contamination = F.round(
+        F.col("n_contaminated") / F.col("n_grams").cast("double"), 6)
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_contaminated",
+                    F.coalesce(F.col("n_contaminated"), F.lit(0)))
+        .select(
+            F.col(id_col), "n_grams", "n_contaminated",
+            contamination.alias("contamination"),
+            (contamination >= threshold).alias("flagged"),
+        )
+    )
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrub: replace emails, IPv4 addresses, then +international
+    phone numbers with typed placeholder tokens, counting each class.
+    Application order is fixed (email → ip → phone, each counting on the
+    previous stage's output) so the phone pattern can never consume the
+    digits of an already-matched IP — and so the SQL oracle, running the
+    same chain, produces byte-identical output.
+
+    Pure regexp_replace/regexp_count chain — codegen'd, map-only."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_emails = F.regexp_count(c, F.lit(EMAIL_RE)).cast("long")
+    t1 = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(IPV4_RE)).cast("long")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PHONE_RE)).cast("long")
+    t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col), t3.alias("redacted"),
+        n_emails.alias("n_emails"), n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )
+
+
+def paragraph_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the C4 duplicate-span rule at
+    paragraph granularity): one row per distinct paragraph hash with its
+    occurrence count and the canonical keeper — the lexicographically
+    smallest (id, para_idx) occurrence. Consumers anti-join their exploded
+    paragraphs against (para_hash, keeper) to drop every later copy.
+
+    Exactly ONE shuffle, keyed by content hash, and it is skew-proof: a
+    boilerplate paragraph repeated 10^9 times partial-aggregates to one
+    (count, min-struct) row per map partition before the exchange — the
+    reason this is a groupBy aggregate and NOT a row_number window, which
+    would funnel the hot hash through a single task. The struct-min
+    buffer is not UnsafeRow-mutable, so Spark plans a SortAggregate (a
+    string-packed key hits the same limit — string buffers aren't
+    hash-aggregable either); the partial/final split and the map-side
+    combine are unchanged, the cost is a per-map-partition sort of the
+    exploded paragraphs. If that sort ever dominates, the alternative is
+    two HASH aggregates — groupBy(hash, id).agg(min(idx)) then
+    groupBy(hash).agg(min(id), min_by(idx, id)) — trading the sort for a
+    second slim exchange."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(c, "\n\n", -1)).alias("para_idx", "para"),
+    ).where(F.trim(F.col("para")) != "")
+    agg = paras.groupBy(F.md5(F.col("para")).alias("para_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("keeper"),
+    )
+    return agg.select(
+        "para_hash", "n_copies",
+        F.col(f"keeper.{id_col}").alias("keeper_id"),
+        F.col("keeper.para_idx").cast("int").alias("keeper_idx"),
+    )

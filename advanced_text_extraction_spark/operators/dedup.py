@@ -43,18 +43,27 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str,
-                  k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per doc — the unit for minhash/jaccard."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+def shingle_array(text_col, k: int = 3):
+    """Column of DISTINCT k-word shingles for one document. Distinctness
+    is within-document, so it is row-local (array_distinct) — consumers
+    explode this without any dedup exchange; the r1 formulation's
+    dropDuplicates shuffled the whole exploded corpus for what one row
+    already knows."""
+    words = F.split(F.trim(text_col), r"\s+")
     idx = F.when(
         F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
-    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))))
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str,
+                  k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per doc — the unit for minhash/jaccard.
+    Map-only: projection + explode, zero shuffles (see shingle_array)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"))
 
 
 # Java \s (used by Spark's split and the DuckDB oracle's regex) does NOT

@@ -57,6 +57,9 @@ HEADLINE = [
     "ann_lsh_bucket_topk",  # bucketed ANN scale path
     "extract_html_roundtrip",  # HTML kernel through the real operator
     "ocr_roundtrip",        # OCR tier: render + recognize round trip
+    "gopher_quality_flags",  # curation: quality gates (codegen projection)
+    "paragraph_dedup",      # curation: corpus-wide dedup (one exchange)
+    "decontaminate",        # curation: broadcast eval-set overlap
 ]
 
 

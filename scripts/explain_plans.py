@@ -71,6 +71,32 @@ AUDIT = [
     ("path_functions",
      "pathlib-parity column functions: pure regexp/string projections, "
      "one WholeStageCodegen span, no exchange"),
+    ("repetition_stats",
+     "curation tier: within-doc repetition signals as row-local array "
+     "algebra — one Project over the scan, no explode, no exchange"),
+    ("gopher_quality_flags",
+     "curation tier: Gopher quality gates as a single codegen'd "
+     "regexp_count projection — map-only, no exchange"),
+    ("pii_redact",
+     "curation tier: ordered regexp_replace chain — map-only, no "
+     "exchange"),
+    ("paragraph_dedup",
+     "curation tier: corpus-wide paragraph dedup — explode then ONE "
+     "exchange keyed by md5(paragraph) with partial+final aggregate "
+     "(count + min-struct keeper). The struct buffer forces "
+     "SortAggregate (per-map-partition sort), but the partial/final "
+     "split is intact, so it stays skew-proof: a boilerplate paragraph "
+     "repeated 10^9 times collapses to one row per map partition "
+     "BEFORE the exchange (the window/row_number formulation would "
+     "funnel the hot hash through one task); operator docstring gives "
+     "the two-hash-aggregate alternative if the sort ever dominates"),
+    ("decontaminate",
+     "curation tier: benchmark n-gram decontamination — the eval-set "
+     "shingles are BROADCAST (no content shuffle of the corpus); gram "
+     "totals are row-local array_distinct (no aggregate); the only "
+     "exchanges carry slim (id, count) rows. word_shingles itself is "
+     "now map-only: per-doc distinctness moved into array_distinct, "
+     "dropping the r1 dropDuplicates corpus shuffle"),
 ]
 
 
