@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import word_count
-from .dedup import shingle_array, word_shingles
+from .dedup import word_shingles
 
 # Java regex and RE2 (the DuckDB oracle) agree on every construct used
 # here: literal classes, \b, \d, \S, bounded quantifiers, (?m). No
@@ -157,37 +157,30 @@ def decontaminate(df: DataFrame, bench: DataFrame, id_col: str,
     words carry no shingles and emit no row (they cannot be contaminated
     by n-gram evidence).
 
-    Scale shape: the benchmark shingle set is broadcast (eval suites are
-    orders of magnitude smaller than the corpus), so the training side is
-    joined map-side with no content shuffle; per-doc gram totals are
-    row-local (the distinct-gram array is computed in the projection —
-    no aggregate). The only exchanges move slim (id, count) rows: the
-    hit-count aggregation (partial-aggregated to ≤1 row per doc per
-    partition) and its join back onto the totals."""
-    base = df.select(
-        F.col(id_col), shingle_array(F.col(text_col), k).alias("grams")
-    ).where(F.size("grams") > 0)
-    bench_set = word_shingles(bench, id_col, text_col, k) \
-        .select("shingle").distinct()
-    # per-doc totals are row-local (no aggregate): the gram array IS the set
-    totals = base.select(
-        F.col(id_col), F.size("grams").cast("long").alias("n_grams"))
-    hits = (
-        base.select(F.col(id_col), F.explode("grams").alias("shingle"))
-        .join(F.broadcast(bench_set), "shingle")
-        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_contaminated"))
+    Scale shape: ONE Arrow shingling pass over the corpus, ONE broadcast
+    hash join (the benchmark shingle set is tiny next to the corpus, so
+    the corpus side never shuffles on content), ONE partial-agg-friendly
+    groupBy(id) computing the gram total and the hit count TOGETHER —
+    count("hit") over the left join makes a separate totals branch (and
+    the totals⋈hits join it forces) unnecessary. A two-branch plan also
+    re-runs the shingling kernel per branch: Spark does not share
+    un-materialized subtrees between a projection and an aggregate."""
+    sh = word_shingles(df, id_col, text_col, k)
+    bench_set = (word_shingles(bench, id_col, text_col, k)
+                 .select("shingle").distinct()
+                 .withColumn("hit", F.lit(1)))
+    agg = (
+        sh.join(F.broadcast(bench_set), "shingle", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+             F.count("hit").cast("long").alias("n_contaminated"))
     )
     contamination = F.round(
         F.col("n_contaminated") / F.col("n_grams").cast("double"), 6)
-    return (
-        totals.join(hits, id_col, "left")
-        .withColumn("n_contaminated",
-                    F.coalesce(F.col("n_contaminated"), F.lit(0)))
-        .select(
-            F.col(id_col), "n_grams", "n_contaminated",
-            contamination.alias("contamination"),
-            (contamination >= threshold).alias("flagged"),
-        )
+    return agg.select(
+        F.col(id_col), "n_grams", "n_contaminated",
+        contamination.alias("contamination"),
+        (contamination >= threshold).alias("flagged"),
     )
 
 

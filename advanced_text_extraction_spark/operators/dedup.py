@@ -43,27 +43,36 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingle_array(text_col, k: int = 3):
-    """Column of DISTINCT k-word shingles for one document. Distinctness
-    is within-document, so it is row-local (array_distinct) — consumers
-    explode this without any dedup exchange; the r1 formulation's
-    dropDuplicates shuffled the whole exploded corpus for what one row
-    already knows."""
-    words = F.split(F.trim(text_col), r"\s+")
-    idx = F.when(
-        F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))))
-
-
 def word_shingles(df: DataFrame, id_col: str, text_col: str,
                   k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per doc — the unit for minhash/jaccard.
-    Map-only: projection + explode, zero shuffles (see shingle_array)."""
-    return df.select(
-        F.col(id_col),
-        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"))
+    """Distinct k-word shingles per doc — the unit for minhash/jaccard/
+    decontamination. Distinctness is within-document, so no dedup
+    exchange exists anywhere (the r1 formulation's dropDuplicates
+    shuffled the whole exploded corpus for what one row already knows).
+
+    ONE Arrow-batched mapInPandas pass — the same _shingle_list twin the
+    minhash kernel uses, byte-identical to the oracle's SQL shingling.
+    Both native-SQL formulations lose: explode→dropDuplicates shuffles
+    the corpus, and the HOF column form (transform + slice + concat_ws
+    + array_distinct) is interpreted per element — measured ~2 ms per
+    50-word doc, ~50× this kernel, and it gets re-evaluated once per
+    consuming subtree on top. Shingle order is first-occurrence
+    (dict.fromkeys), so output is deterministic."""
+    schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("shingle", T.StringType(), False),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, outs = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                sh = dict.fromkeys(_shingle_list(t, k))
+                ids.extend([i] * len(sh))
+                outs.extend(sh)
+            yield pd.DataFrame({id_col: ids, "shingle": outs})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
 
 
 # Java \s (used by Spark's split and the DuckDB oracle's regex) does NOT

@@ -91,12 +91,14 @@ AUDIT = [
      "funnel the hot hash through one task); operator docstring gives "
      "the two-hash-aggregate alternative if the sort ever dominates"),
     ("decontaminate",
-     "curation tier: benchmark n-gram decontamination — the eval-set "
-     "shingles are BROADCAST (no content shuffle of the corpus); gram "
-     "totals are row-local array_distinct (no aggregate); the only "
-     "exchanges carry slim (id, count) rows. word_shingles itself is "
-     "now map-only: per-doc distinctness moved into array_distinct, "
-     "dropping the r1 dropDuplicates corpus shuffle"),
+     "curation tier: benchmark n-gram decontamination — ONE Arrow "
+     "shingling pass (MapInPandas; the interpreted-HOF column form "
+     "measured ~2 ms/doc and was re-evaluated per consuming subtree), "
+     "eval-set shingles BROADCAST (no content shuffle of the corpus), "
+     "then ONE groupBy(id) computing gram total and hit count together "
+     "— count(hit) over the left join replaces the totals branch and "
+     "the totals-hits join; the only exchange carries slim (id, count, "
+     "count) rows"),
 ]
 
 
