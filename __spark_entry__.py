@@ -309,6 +309,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["paragraph_dedup"] = lambda s, d: C.paragraph_dedup(
         _synth_boiler(_spread(_t(s, d, "documents"))), "doc_id", "text")
 
+    # ---- corpus-shaping tier (operators/sampling.py): deterministic
+    # mix rebalancing, sequence packing, unigram-LM quality proxy ----
+    from advanced_text_extraction_spark.operators import sampling as SMP
+
+    q["stratified_sample"] = lambda s, d: SMP.stratified_sample(
+        _spread(_t(s, d, "documents")), "doc_id", "lang",
+        {"en": 0.5, "es": 0.25}, default_rate=0.1, salt="r2")
+    q["pack_sequences"] = lambda s, d: SMP.pack_sequences(
+        _spread(_t(s, d, "documents")), "doc_id", "text",
+        budget=256, n_shards=8)
+    q["unigram_logprob"] = lambda s, d: SMP.unigram_logprob(
+        _spread(_t(s, d, "documents")), "doc_id", "text")
+
     # ---- flagship end-to-end, oracle-checkable (plain+HTML payloads only;
     # every branch SQL-expressible — closes the r1 no_oracle gap; the
     # PDF-inclusive variant below adds the PDF branch via the fixed-
@@ -1193,4 +1206,48 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY doc_id, para_idx) AS rn
               FROM p)
         WHERE rn = 1"""
+
+    # ---- corpus-shaping tier (operators/sampling.py) ----
+    o["stratified_sample"] = """
+        WITH s AS (
+            SELECT *,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                            || ':r2'), 1, 8)) AS BIGINT)
+                       AS sample_key
+            FROM documents)
+        SELECT doc_id, text, lang, source, n_chars, sample_key
+        FROM s
+        WHERE sample_key / 4294967296.0 <
+              (CASE WHEN lang = 'en' THEN 0.5
+                    WHEN lang = 'es' THEN 0.25 ELSE 0.1 END)"""
+
+    o["pack_sequences"] = f"""
+        WITH t AS (
+            SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+                   {_WORDS_EXPR} AS n_tokens
+            FROM documents),
+        c AS (
+            SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                   - n_tokens AS start
+            FROM t)
+        SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor(start / 256) AS INT) AS seq_idx,
+               CAST(start % 256 AS INT) AS seq_offset
+        FROM c"""
+
+    o["unigram_logprob"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents WHERE trim(coalesce(text, '')) <> ''),
+        vocab AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+        tot AS (SELECT sum({_WORDS_EXPR}) AS total FROM documents)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(CAST(sum(CAST(round(log10(CAST(n AS DOUBLE) / total), 12)
+                                   AS DECIMAL(28,12))) AS DOUBLE)
+                     / count(*), 6) AS mean_logprob
+        FROM toks JOIN vocab USING (token) CROSS JOIN tot
+        GROUP BY doc_id"""
     return o

@@ -60,6 +60,7 @@ HEADLINE = [
     "gopher_quality_flags",  # curation: quality gates (codegen projection)
     "paragraph_dedup",      # curation: corpus-wide dedup (one exchange)
     "decontaminate",        # curation: broadcast eval-set overlap
+    "unigram_logprob",      # corpus-shaping: corpus-fit LM quality proxy
 ]
 
 

@@ -99,6 +99,23 @@ AUDIT = [
      "— count(hit) over the left join replaces the totals branch and "
      "the totals-hits join; the only exchange carries slim (id, count, "
      "count) rows"),
+    ("stratified_sample",
+     "corpus-shaping tier: deterministic stratified sampling — the "
+     "keep/drop decision is a pure md5 projection + Filter over the "
+     "scan, MAP-ONLY: no exchange, no count pass, no driver state; "
+     "expect one WholeStageCodegen span"),
+    ("pack_sequences",
+     "corpus-shaping tier: token-budget sequence packing — ONE "
+     "exchange on the shard key, then a per-shard ordered window "
+     "cumsum (sort is partition-local). Shards pack independently, so "
+     "parallelism = n_shards; a single global window would funnel the "
+     "corpus through one task — the anti-pattern this shape avoids"),
+    ("unigram_logprob",
+     "corpus-shaping tier: unigram LM quality proxy — three exchanges "
+     "(token-count agg with partial combine; tokens-vocab equi-join "
+     "whose build side is unique per key, so probe-side skew splits "
+     "under AQE; per-doc agg), plus a 1-row broadcast total computed "
+     "MAP-ONLY from word_count, not by re-running the vocab agg"),
 ]
 
 
