@@ -499,10 +499,9 @@ def _normalize_text(s: SparkSession, d: str) -> DataFrame:
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
 
-_WORDS_EXPR = (
-    "CASE WHEN trim(text) = '' THEN 0 "
-    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
-)
+# \S+ run count == Python len(text.split()) — boundary whitespace adds
+# nothing (matches functions/text.py::word_count)
+_WORDS_EXPR = "len(regexp_extract_all(text, '\\S+'))"
 
 # SPEC.md §2 plain-text normalization over documents.text (CRLF fold,
 # zero-width strip, space/NBSP collapse, newline trim, blank-line cap)
@@ -631,7 +630,10 @@ def oracle_sql() -> dict[str, str]:
 
     _shingles = """
         WITH words AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            SELECT doc_id,
+                   list_filter(string_split_regex(coalesce(text, ''),
+                                                  '\\s+'),
+                               w -> w <> '') AS ws
             FROM documents),
         shin AS (
             SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
@@ -1078,10 +1080,10 @@ def oracle_sql() -> dict[str, str]:
         WITH s AS (
             SELECT doc_id,
                    list_filter(string_split(coalesce(text, ''), chr(10)),
-                               x -> trim(x) <> '') AS ls,
+                               x -> regexp_matches(x, '\\S')) AS ls,
                    list_filter(string_split(coalesce(text, ''),
                                             chr(10) || chr(10)),
-                               x -> trim(x) <> '') AS ps
+                               x -> regexp_matches(x, '\\S')) AS ps
             FROM documents)
         SELECT doc_id,
                CAST(len(ls) AS BIGINT) AS n_lines,
@@ -1197,7 +1199,7 @@ def oracle_sql() -> dict[str, str]:
                          generate_subscripts(string_split(coalesce(t, ''),
                                              chr(10) || chr(10)), 1) AS i
                   FROM boiler)
-            WHERE trim(part) <> '')
+            WHERE regexp_matches(part, '\\S'))
         SELECT para_hash, n_copies, doc_id AS keeper_id,
                para_idx AS keeper_idx
         FROM (SELECT para_hash, doc_id, para_idx,
@@ -1223,7 +1225,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["pack_sequences"] = f"""
         WITH t AS (
-            SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                 || ':'), 1, 8)) AS BIGINT)
+                        % 8 AS INT) AS shard,
                    {_WORDS_EXPR} AS n_tokens
             FROM documents),
         c AS (
@@ -1238,10 +1243,12 @@ def oracle_sql() -> dict[str, str]:
         FROM c"""
 
     o["unigram_logprob"] = f"""
-        WITH toks AS (
+        WITH raw AS (
             SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS token
-            FROM documents WHERE trim(coalesce(text, '')) <> ''),
+                   unnest(string_split_regex(coalesce(text, ''),
+                                             '\\s+')) AS token
+            FROM documents),
+        toks AS (SELECT doc_id, token FROM raw WHERE token <> ''),
         vocab AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
         tot AS (SELECT sum({_WORDS_EXPR}) AS total FROM documents)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,

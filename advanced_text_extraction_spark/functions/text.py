@@ -18,13 +18,12 @@ def char_count(col) -> Column:
 
 def word_count(col) -> Column:
     """F4 — len(text.split()) (reference /root/reference/cli.py:92).
-    Empty/whitespace-only → 0 (Python split() semantics)."""
-    c = F.trim(col)
-    return (
-        F.when(c == "", F.lit(0))
-        .otherwise(F.size(F.split(c, r"\s+")))
-        .cast("long")
-    )
+    Counted as \\S+ runs: exactly Python split() semantics — empty/
+    whitespace-only → 0, and boundary whitespace adds nothing (the
+    earlier size-of-split formulation counted a phantom empty token
+    when text started or ended with non-space whitespace, e.g. a
+    trailing newline, because trim strips only spaces)."""
+    return F.regexp_count(col, F.lit(r"\S+")).cast("long")
 
 
 def line_count(col) -> Column:

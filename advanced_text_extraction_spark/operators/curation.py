@@ -50,7 +50,10 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def _nonblank(parts):
-    return F.filter(parts, lambda x: F.trim(x) != "")
+    # blank = no \S anywhere: trim() strips only spaces, so a '\r'
+    # remnant line in CRLF text would otherwise count as content and
+    # make clean CRLF corpora look artificially repetitive
+    return F.filter(parts, lambda x: x.rlike(r"\S"))
 
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -58,7 +61,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     duplicate-line fraction, duplicate-line *character* fraction (chars in
     occurrences beyond the first — order-invariant, so list_distinct
     ordering differences between engines can't bite), duplicate-paragraph
-    fraction. Blank-after-trim lines/paragraphs are excluded.
+    fraction. Lines/paragraphs with no \\S character are excluded.
 
     Map-only: each document's arrays never leave its row, so this runs at
     scan speed on the full corpus — no explode, no shuffle."""
@@ -228,10 +231,13 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     groupBy(hash).agg(min(id), min_by(idx, id)) — trading the sort for a
     second slim exchange."""
     c = F.coalesce(F.col(text_col), F.lit(""))
+    # keep only paragraphs with a \S char: an odd run of 3+ newlines (or
+    # CRLF blank spans) otherwise emits a whitespace-only "paragraph"
+    # whose shared hash accumulates a huge phantom n_copies corpus-wide
     paras = df.select(
         F.col(id_col),
         F.posexplode(F.split(c, "\n\n", -1)).alias("para_idx", "para"),
-    ).where(F.trim(F.col("para")) != "")
+    ).where(F.col("para").rlike(r"\S"))
     agg = paras.groupBy(F.md5(F.col("para")).alias("para_hash")).agg(
         F.count(F.lit(1)).alias("n_copies"),
         F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("keeper"),

@@ -57,7 +57,13 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
     + array_distinct) is interpreted per element — measured ~2 ms per
     50-word doc, ~50× this kernel, and it gets re-evaluated once per
     consuming subtree on top. Shingle order is first-occurrence
-    (dict.fromkeys), so output is deterministic."""
+    (dict.fromkeys), so output is deterministic.
+
+    PRECONDITION: one row per id. Distinctness is row-local, so a
+    frame carrying the same id twice (e.g. a union of two extraction
+    runs) emits each row's shingles separately — downstream jaccard
+    set sizes would double and intersections quadruple. Dedupe ids
+    first; this operator will not pay a corpus-wide shuffle to check."""
     schema = T.StructType([
         df.schema[id_col],
         T.StructField("shingle", T.StringType(), False),
@@ -81,9 +87,13 @@ _WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _shingle_list(text: str | None, k: int = 3) -> list[str]:
-    """Python twin of split(trim(text), '\\s+') → k-word shingles —
-    byte-identical to the SQL formulation the oracle runs."""
-    words = _WS_RE.split((text or "").strip(" "))
+    """Python twin of the oracle's shingling SQL (non-empty \\s+-split
+    words → k-word shingles), byte-identical to it. Empty boundary
+    tokens are dropped BEFORE shingling — the earlier formulation let a
+    trailing newline smuggle an empty word in, so a 2-word doc grew a
+    phantom 3-shingle with a trailing space that could never match a
+    genuine benchmark shingle."""
+    words = [w for w in _WS_RE.split(text or "") if w]
     if len(words) < k:
         return []
     return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]

@@ -78,9 +78,8 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
             else rate.when(cond, F.lit(float(v)))
     rate = F.lit(float(default_rate)) if rate is None \
         else rate.otherwise(F.lit(float(default_rate)))
-    key = hash_key(F.col(id_col), salt)
-    return (df.withColumn("sample_key", key)
-              .where(F.col("sample_key") / F.lit(_U32) < rate))
+    return (df.withColumn("sample_key", hash_key(F.col(id_col), salt))
+              .where(hash_uniform(F.col(id_col), salt) < rate))
 
 
 def pack_sequences(df: DataFrame, id_col: str, text_col: str,
@@ -102,7 +101,11 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str,
     A single global window would funnel the corpus through ONE task —
     the anti-pattern this shape exists to avoid."""
     n_tok = word_count(F.coalesce(F.col(text_col), F.lit("")))
-    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    # md5-derived shard, not pmod(id): works for ANY id type (a string
+    # id would cast to null under pmod and funnel the whole corpus into
+    # one null-shard window partition) and is uniform even when numeric
+    # ids are clustered or strided
+    shard = F.pmod(hash_key(F.col(id_col)), F.lit(n_shards)).cast("int")
     w = (Window.partitionBy("shard").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum("n_tokens").over(w)

@@ -286,3 +286,98 @@ def test_select_engine_routes_large_images_to_paddleocr(monkeypatch):
     monkeypatch.setitem(K.ENGINES, "paddleocr", lambda img: ("", 0.0, []))
     assert K.select_engine(big) == "paddleocr"
     assert K.select_engine(small) in ("easyocr", "tesseract", "template")
+
+
+# -------------------------- boundary-whitespace semantics (review round 3)
+
+def test_word_count_boundary_whitespace(spark):
+    """word_count must equal Python len(text.split()): a trailing
+    newline/tab adds no phantom token (trim strips only spaces)."""
+    from pyspark.sql import functions as F
+
+    from advanced_text_extraction_spark.functions.text import word_count
+    rows = [(1, "hello world\n"), (2, "\ta b\r\n"), (3, "  "), (4, ""),
+            (5, "one")]
+    out = {r["i"]: r["n"] for r in spark.createDataFrame(
+        rows, "i long, text string"
+    ).select("i", word_count(F.col("text")).alias("n")).collect()}
+    assert out == {i: len(t.split()) for i, t in rows}
+
+
+def test_repetition_stats_crlf_blank_lines(spark):
+    """CRLF blank lines ('\\r' remnants) are not content: a clean CRLF
+    doc must show zero duplicate-line fraction."""
+    from advanced_text_extraction_spark.operators.curation import (
+        repetition_stats)
+    text = "alpha\r\nbeta\r\n\r\ngamma\r\n\r\ndelta\r\n"
+    row = repetition_stats(
+        spark.createDataFrame([(1, text)], "doc_id long, text string"),
+        "doc_id", "text").first()
+    assert row["n_lines"] == 4
+    assert row["dup_line_frac"] == 0.0
+
+
+def test_paragraph_dedup_whitespace_paragraphs(spark):
+    """An odd newline run must not emit a whitespace-only 'paragraph'
+    hash (it would accumulate a huge phantom n_copies corpus-wide)."""
+    from advanced_text_extraction_spark.operators.curation import (
+        paragraph_dedup)
+    rows = [(1, "foo\n\n\n"), (2, "bar\n\n\nbaz")]
+    out = paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id", "text").collect()
+    hashes = {r["para_hash"] for r in out}
+    # split on \n\n: doc1 -> ['foo', '\n'] (blank dropped), doc2 ->
+    # ['bar', '\nbaz'] -> 3 content paragraphs, no md5-of-whitespace row
+    assert len(out) == 3
+    import hashlib
+    assert hashlib.md5(b"\n").hexdigest() not in hashes
+
+
+def test_shingles_trailing_newline_no_phantom(spark):
+    """A 2-word doc with a trailing newline has NO 3-word shingles —
+    the boundary empty token must not complete a phantom shingle."""
+    from advanced_text_extraction_spark.operators.dedup import (
+        _shingle_list, word_shingles)
+    assert _shingle_list("just two\n", 3) == []
+    assert _shingle_list("a b c\n", 3) == ["a b c"]
+    n = word_shingles(
+        spark.createDataFrame([(1, "just two\n")],
+                              "doc_id long, text string"),
+        "doc_id", "text").count()
+    assert n == 0
+
+
+def test_pack_sequences_string_ids(spark):
+    """Sharding is md5-based, so non-numeric ids pack fine (a pmod
+    shard would cast them to null and funnel all rows into one task)."""
+    from advanced_text_extraction_spark.operators.sampling import (
+        pack_sequences)
+    rows = [(f"doc-{i}", "w " * 5) for i in range(40)]
+    out = pack_sequences(
+        spark.createDataFrame(rows, "doc_id string, text string"),
+        "doc_id", "text", budget=20, n_shards=4).collect()
+    assert len(out) == 40
+    assert len({r["shard"] for r in out}) > 1  # spread across shards
+    assert all(0 <= r["seq_offset"] < 20 for r in out)
+
+
+def test_unigram_logprob_trailing_newline(spark):
+    """The corpus total counts only real tokens: 'hello world\\n' is 2
+    tokens, so a 2-doc corpus of it scores log10(1) = ... exactly."""
+    import math
+
+    from advanced_text_extraction_spark.operators.sampling import (
+        unigram_logprob)
+    df = spark.createDataFrame([(1, "hello world\n"), (2, "hello\n")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           unigram_logprob(df, "doc_id", "text").collect()}
+    # counts: hello:2 world:1, total 3
+    lp_h, lp_w = round(math.log10(2 / 3), 12), round(math.log10(1 / 3), 12)
+    assert out[1]["n_tokens"] == 2
+    assert out[1]["mean_logprob"] == pytest.approx(
+        round((lp_h + lp_w) / 2, 6), abs=1e-9)
+    assert out[2]["n_tokens"] == 1
+    assert out[2]["mean_logprob"] == pytest.approx(
+        round(lp_h, 6), abs=1e-9)
