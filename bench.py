@@ -69,6 +69,30 @@ def _materialize(df) -> int:
     return 0
 
 
+def _busy(_sec: float = 0.4) -> float:
+    """Iterations/sec of a pure-CPU busy loop — one process."""
+    end = time.time() + _sec
+    n = 0
+    while time.time() < end:
+        for _ in range(10_000):
+            n += 1
+    return n / 1e6 / _sec
+
+
+def _calibrate(procs: int) -> float:
+    """Aggregate busy-loop M-iters/s over `procs` concurrent processes.
+    The sandbox host shows bursty CPU steal lasting minutes-to-hours
+    (see BENCH/BASELINE.md); recording this alongside each bench run
+    lets a reader tell an interference-inflated run from a regression.
+    THIS probe's interference-free ceiling on this VM is ~520-550
+    (sampled max 551; quiet-host samples cluster 420-550, so treat
+    values well under ~400 as an interference flag, not a code
+    regression)."""
+    import concurrent.futures as cf
+    with cf.ProcessPoolExecutor(max_workers=procs) as ex:
+        return round(sum(ex.map(_busy, [0.4] * procs)), 1)
+
+
 def run_headline() -> dict:
     import __spark_entry__ as entrymod
     from advanced_text_extraction_spark.plans.pipeline import (
@@ -130,6 +154,11 @@ def run_headline() -> dict:
         "extract_turns_per_sec": tps,
         "extract_rows": n_rows,
         "cpus": CPUS,
+        # host-interference context: 24-proc busy-loop M-iters/s;
+        # quiet-host ceiling ~520-550 for THIS probe (see _calibrate).
+        # A value well under ~400 marks the RUN as steal-inflated, not
+        # the code as slower.
+        "host_cal_miters_24p": _calibrate(24),
     }
 
 
