@@ -309,6 +309,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["paragraph_dedup"] = lambda s, d: C.paragraph_dedup(
         _synth_boiler(_spread(_t(s, d, "documents"))), "doc_id", "text")
 
+    # simhash banding near-dup: every 37th doc gets an exact twin (id
+    # offset past the corpus range) so hamming-0 pairs are guaranteed;
+    # organic close pairs from the shared vocabulary join them
+    q["simhash_neardup_pairs"] = lambda s, d: D.simhash_neardup_pairs(
+        _synth_neardup(_spread(_t(s, d, "documents"))), "doc_id", "text")
+
     # ---- corpus-shaping tier (operators/sampling.py): deterministic
     # mix rebalancing, sequence packing, unigram-LM quality proxy ----
     from advanced_text_extraction_spark.operators import sampling as SMP
@@ -348,6 +354,14 @@ def _synth_pii(docs: DataFrame) -> DataFrame:
             F.lit(" or call +1 415 55"), F.pmod(did, 10).cast("string"),
             F.lit(" 0199."),
         ).alias("text"))
+
+
+def _synth_neardup(docs: DataFrame) -> DataFrame:
+    """Union an exact twin of every 37th document (ids offset by 10^7,
+    past any corpus id) — guaranteed hamming-0 simhash pairs."""
+    twins = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    return docs.select("doc_id", "text").unionByName(twins)
 
 
 def _synth_boiler(docs: DataFrame) -> DataFrame:
@@ -681,6 +695,40 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT s.src, w.comp FROM sym s JOIN walk w ON w.id = s.dst)
         SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id"""
+
+    o["simhash_neardup_pairs"] = """
+        WITH docs2 AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text FROM documents
+            WHERE doc_id % 37 = 0),
+        toks AS (
+            SELECT doc_id, md5(tok) AS h
+            FROM (SELECT doc_id, unnest(string_split_regex(
+                      lower(trim(text)), '[^a-z0-9]+')) AS tok
+                  FROM docs2)
+            WHERE tok <> ''),
+        bits AS (
+            SELECT doc_id, j,
+                   (((strpos('0123456789abcdef',
+                              substring(h, (j // 4) + 1, 1)) - 1)
+                     >> (j % 4)) & 1) * 2 - 1 AS c
+            FROM toks, UNNEST(generate_series(0, 31)) AS b(j)),
+        sums AS (SELECT doc_id, j, sum(c) AS s FROM bits GROUP BY doc_id, j),
+        sims AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM sums GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, simhash, b AS band,
+                   (simhash >> (8 * b)) & 255 AS key
+            FROM sims, UNNEST(generate_series(0, 3)) AS t(b))
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM bands a JOIN bands b USING (band, key)
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
     o["ngram_jaccard_pairs"] = _shingles + """,
         sizes AS (SELECT doc_id, count(*) AS sz FROM shin GROUP BY doc_id),

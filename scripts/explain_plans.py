@@ -99,6 +99,12 @@ AUDIT = [
      "— count(hit) over the left join replaces the totals branch and "
      "the totals-hits join; the only exchange carries slim (id, count, "
      "count) rows"),
+    ("simhash_neardup_pairs",
+     "simhash banding near-dup: the Python sketch kernel runs ONCE "
+     "(persisted + materialized before the self-join — the LSH "
+     "double-kernel lesson); banding, the bucket join and the "
+     "bit_count(xor) hamming verify are all native bit ops. Expect "
+     "InMemoryTableScan on both join sides, one MapInPandas total"),
     ("stratified_sample",
      "corpus-shaping tier: deterministic stratified sampling — the "
      "keep/drop decision is a pure md5 projection + Filter over the "

@@ -85,3 +85,35 @@ def test_ngram_jaccard_doc_freq_cap(spark):
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] == 1.0  # true Jaccard over the filtered universe
+
+
+def test_simhash_neardup_pairs_exact_recall(spark):
+    """Banding recall is EXACT for hamming <= n_bands-1: compare the
+    banded operator against a brute-force all-pairs hamming join."""
+    from pyspark.sql import functions as F
+
+    from advanced_text_extraction_spark.operators.dedup import (
+        simhash32, simhash_neardup_pairs)
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "the quick brown fox jumps over the lazy dog near the river",
+        "the quick brown fox jumps over the lazy dog near the creek",
+        "completely different words about spark shuffles and parquet",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_neardup_pairs(df, "doc_id", "text").collect()}
+    sims = {r["doc_id"]: r["simhash"]
+            for r in simhash32(df, "doc_id", "text").collect()}
+    want = {}
+    ids = sorted(sims)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = bin(sims[i] ^ sims[j]).count("1")
+                if h <= 3:
+                    want[(i, j)] = h
+    assert got == want
+    assert got[(0, 1)] == 0  # the exact twin pair is present
