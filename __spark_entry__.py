@@ -376,21 +376,30 @@ def _synth_boiler(docs: DataFrame) -> DataFrame:
         .otherwise(F.col("text")).alias("text"))
 
 
-def _extract_e2e(s: SparkSession, d: str) -> DataFrame:
-    """The FULL flagship pipeline (bucket prep → salted repartition →
-    folded-dedupe extraction → stable order restore) over a plain+HTML
-    transcript synth, so the DuckDB oracle can hash-check it end-to-end."""
+def _e2e_pipeline(s: SparkSession, d: str, include_pdf: bool) -> DataFrame:
+    """ONE definition of the flagship e2e plan (bucket prep → salted
+    repartition → folded-dedupe extraction → stable order restore) —
+    the oracle-gated and PDF-inclusive variants differ only in the synth
+    payload mix, so a plan change can never silently diverge between
+    them."""
     from advanced_text_extraction_spark.plans.pipeline import (
         prepare,
         salted_repartition,
     )
 
-    tr = prepare(synth_transcripts(s, d, include_pdf=False), n_buckets=8)
+    tr = prepare(synth_transcripts(s, d, include_pdf=include_pdf),
+                 n_buckets=8)
     out = extract(salted_repartition(tr, n_buckets=8, salt=2),
                   dedupe_keys=("conv_id", "turn_idx"))
     return W.restore_order(out).select(
         "conv_id", "turn_idx", "content_type", "extracted_text",
         "confidence", "status")
+
+
+def _extract_e2e(s: SparkSession, d: str) -> DataFrame:
+    """The FULL flagship pipeline over a plain+HTML transcript synth, so
+    the DuckDB oracle can hash-check it end-to-end."""
+    return _e2e_pipeline(s, d, include_pdf=False)
 
 
 def _extract_e2e_pdf(s: SparkSession, d: str) -> DataFrame:
@@ -401,17 +410,7 @@ def _extract_e2e_pdf(s: SparkSession, d: str) -> DataFrame:
     This closes the last non-SQL-expressible branch at driver-oracle
     level — base64 decode → PDF object/stream parse → layout → text all
     run through the full salted pipeline and get hash-checked."""
-    from advanced_text_extraction_spark.plans.pipeline import (
-        prepare,
-        salted_repartition,
-    )
-
-    tr = prepare(synth_transcripts(s, d, include_pdf=True), n_buckets=8)
-    out = extract(salted_repartition(tr, n_buckets=8, salt=2),
-                  dedupe_keys=("conv_id", "turn_idx"))
-    return W.restore_order(out).select(
-        "conv_id", "turn_idx", "content_type", "extracted_text",
-        "confidence", "status")
+    return _e2e_pipeline(s, d, include_pdf=True)
 
 
 def _tpch_q1(s: SparkSession, d: str) -> DataFrame:

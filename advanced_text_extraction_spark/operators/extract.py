@@ -160,9 +160,11 @@ def extract_one(payload: str | None) -> dict:
 
 
 class BucketStatsParam(AccumulatorParam):
-    """Accumulator merging per-bucket (rows, bytes, errors, wall_us) tuples
-    — lineage stats gathered INSIDE the extraction pass, so no second scan
-    of the output is ever needed (VERDICT r1 #4)."""
+    """Accumulator merging per-bucket (input_rows, kept_rows, bytes,
+    errors, wall_us) tuples — lineage stats gathered INSIDE the
+    extraction pass, so no second scan of the output is ever needed
+    (VERDICT r1 #4). input_rows counts BEFORE the folded dedupe mask
+    (the true scan size), kept_rows after."""
 
     def zero(self, value):
         return {}
@@ -201,8 +203,10 @@ def _make_kernel(dedupe_keys: tuple[str, ...] | None,
     (|partition| tuples — bounded by the salted layout, not the corpus).
 
     ``stats_acc`` (a BucketStatsParam accumulator) collects per-bucket
-    (rows, raw_bytes, errors, wall_us) as a side output of the same pass —
-    the lineage source, replacing any read-back of the written table."""
+    (input_rows, kept_rows, raw_bytes, errors, wall_us) as a side output
+    of the same pass — the lineage source, replacing any read-back of
+    the written table. input_rows is pre-dedupe (feeding a 30%-duplicate
+    corpus must not report 30% fewer input rows)."""
 
     def _extract_batches(batches):
         # Arm the P3 OCR hook IN THIS PROCESS: the kernel runs in Spark's
@@ -234,6 +238,14 @@ def _make_kernel(dedupe_keys: tuple[str, ...] | None,
             _self._armed_engine = ocr_fallback_engine
         seen: set | None = set() if dedupe_keys else None
         for pdf in batches:
+            if stats_acc is not None and bucket_col in pdf.columns:
+                # true INPUT counts, recorded BEFORE the dedupe mask —
+                # the per-bucket tuples merge element-wise, so input
+                # rows and processed-row stats arrive as separate adds
+                stats_acc.add({
+                    int(b): (int(n), 0, 0, 0, 0)
+                    for b, n in
+                    pdf.groupby(bucket_col, sort=False).size().items()})
             if dedupe_keys:
                 mask = []
                 for key in zip(*(pdf[k] for k in dedupe_keys)):
@@ -267,7 +279,7 @@ def _make_kernel(dedupe_keys: tuple[str, ...] | None,
                 for b, g in out.groupby(bucket_col, sort=False):
                     raw = sum(int(m["raw_len"]) for m in g["metadata"])
                     errs = int((g["status"] == "error").sum())
-                    upd[int(b)] = (len(g), raw, errs,
+                    upd[int(b)] = (0, len(g), raw, errs,
                                    int(g["proc_us"].sum()))
                 stats_acc.add(upd)
             yield out

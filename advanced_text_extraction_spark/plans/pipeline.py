@@ -104,7 +104,8 @@ def run_extract_job(
 
     skipped: list[int] = []
     if resume:
-        skipped = catalog.completed_buckets(spark, out_root, EXTRACTOR_VERSION)
+        skipped = catalog.completed_buckets(spark, out_root,
+                                            EXTRACTOR_VERSION, n_buckets)
         if skipped:
             # metadata-level partition pruning — cheaper than an anti-join
             df = df.filter(~F.col("part_bucket").isin(skipped))
@@ -138,9 +139,10 @@ def run_extract_job(
     footer_rows = catalog.bucket_row_counts(out_root, set(acc)) \
         if acc else {}
     lineage_rows = [
-        (b, int(rows), int(raw_bytes), int(footer_rows.get(b, rows)),
+        (b, int(rows_in), int(raw_bytes), int(footer_rows.get(b, kept)),
          int(errors), int(wall_us // 1000))
-        for b, (rows, raw_bytes, errors, wall_us) in sorted(acc.items())
+        for b, (rows_in, kept, raw_bytes, errors, wall_us)
+        in sorted(acc.items())
     ]
     input_rows = 0
     if lineage_rows:
@@ -149,6 +151,10 @@ def run_extract_job(
             "part_bucket int, input_rows long, input_bytes long, "
             "output_rows long, error_rows long, wall_ms long",
         ).withColumns({
+            # n_buckets keys the resume probe: buckets computed under a
+            # DIFFERENT bucketing are semantically unrelated partitions
+            # and must not be skipped (pmod(h,8) != pmod(h,32))
+            "n_buckets": F.lit(n_buckets),
             "extractor_version": F.lit(EXTRACTOR_VERSION),
             "run_id": F.lit(run_id),
             "finished_ts": F.current_timestamp(),

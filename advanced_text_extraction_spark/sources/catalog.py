@@ -126,8 +126,18 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
 
 
 def completed_buckets(spark: SparkSession, root: str,
-                      extractor_version: str) -> list[int]:
-    """Buckets already completed by a prior run of this extractor version.
+                      extractor_version: str,
+                      n_buckets: int | None = None) -> list[int]:
+    """Buckets already completed by a prior run of this extractor version
+    UNDER THE SAME BUCKETING. A bucket id is only meaningful relative to
+    n_buckets — pmod(hash, 8) and pmod(hash, 32) partitions are
+    semantically unrelated, so lineage written with a different
+    --n-buckets must not satisfy the skip probe (it would silently skip
+    the whole input while extracting nothing).
+
+    Legacy lineage without the n_buckets column is treated as NOT
+    completed (a warning, then a harmless re-extract — the per-bucket
+    overwrite is idempotent; wrongly skipping is the unsafe direction).
 
     Lineage is tiny (one row per bucket per run) — collecting the bucket
     ids to the driver gives Catalyst a partition-pruning ``NOT IN`` filter
@@ -138,23 +148,36 @@ def completed_buckets(spark: SparkSession, root: str,
     if not _fs_exists(spark, path):  # Iceberg: catalog.tableExists
         return []
     lineage = spark.read.parquet(path)
-    rows = (
-        lineage.filter(F.col("extractor_version") == extractor_version)
-        .select("part_bucket").distinct().collect()
-    )
+    done = lineage.filter(F.col("extractor_version") == extractor_version)
+    if n_buckets is not None:
+        if "n_buckets" not in lineage.columns:
+            import logging
+            logging.getLogger(__name__).warning(
+                "completed_buckets: lineage at %s predates the n_buckets "
+                "column; treating prior runs as incomplete (idempotent "
+                "re-extract) rather than risking a wrong-bucketing skip",
+                path)
+            return []
+        done = done.filter(F.col("n_buckets") == n_buckets)
+    rows = done.select("part_bucket").distinct().collect()
     return sorted(r[0] for r in rows)
 
 
 def resume_anti_join(df: DataFrame, spark: SparkSession, root: str,
-                     extractor_version: str) -> DataFrame:
+                     extractor_version: str,
+                     n_buckets: int | None = None) -> DataFrame:
     """Row-level variant of the resume filter (SURVEY §2.5 J1): broadcast
     LEFT ANTI JOIN against lineage — used when buckets can be partially
-    written (e.g. streaming backfill), at the cost of a broadcast."""
+    written (e.g. streaming backfill), at the cost of a broadcast.
+    Keyed on n_buckets like :func:`completed_buckets` — bucket ids from
+    a different bucketing never match."""
     if not _fs_exists(spark, lineage_path(root)):
         return df
     lineage = spark.read.parquet(lineage_path(root))
-    done = (
-        lineage.filter(F.col("extractor_version") == extractor_version)
-        .select("part_bucket").distinct()
-    )
-    return df.join(F.broadcast(done), "part_bucket", "left_anti")
+    done = lineage.filter(F.col("extractor_version") == extractor_version)
+    if n_buckets is not None:
+        if "n_buckets" not in lineage.columns:
+            return df  # legacy lineage: never skip on unverifiable rows
+        done = done.filter(F.col("n_buckets") == n_buckets)
+    return df.join(F.broadcast(done.select("part_bucket").distinct()),
+                   "part_bucket", "left_anti")

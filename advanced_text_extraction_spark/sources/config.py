@@ -52,7 +52,14 @@ def load_config(config_path: str | None = None) -> dict[str, dict[str, Any]]:
     """Defaults shallow-updated by the JSON file at ``config_path``
     (reference _load_config contract: missing/bad file → warn + defaults)."""
     config = {k: dict(v) for k, v in DEFAULT_CONFIG.items()}
-    if config_path and os.path.exists(config_path):
+    if config_path:
+        if not os.path.exists(config_path):
+            # a typo'd --config silently running on defaults is a
+            # wrong-output run with nothing in the logs — warn, as the
+            # reference contract promises
+            logger.warning("Config file not found: %s — using defaults",
+                           config_path)
+            return config
         try:
             with open(config_path) as f:
                 user_config = json.load(f)

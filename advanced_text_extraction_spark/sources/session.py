@@ -1,8 +1,9 @@
 """SparkSession factory with scale-oriented defaults.
 
 Local-mode testing stands in for the multi-executor cluster (BASELINE.md):
-the same job runs at local[8] vs local[32] for the scaling-efficiency
-evidence. On a real cluster the identical builder applies — only master,
+the same job runs at local[4] vs local[16] for the scaling-efficiency
+evidence (the largest 4x core step inside this VM's ~16 physical cores —
+BENCH/BASELINE.md documents the calibration). On a real cluster the identical builder applies — only master,
 memory, and the Iceberg catalog packages change (see sources/catalog.py).
 """
 

@@ -207,7 +207,14 @@ def sessionize_conversations(stream: DataFrame,
             # only null-ts turns ever seen for this key — no state to keep
             return
         state.update((n_turns, n_chars, first_us, last_us))
-        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        # clamp: when only dropped (null-ts) rows arrived, last_us is the
+        # STALE state value and last_us+gap may already sit at/below the
+        # current watermark — setTimeoutTimestamp would then raise and
+        # kill the query. Past-due sessions re-arm at watermark+1 and
+        # close on the next trigger instead.
+        timeout_ms = last_us // 1000 + gap_ms
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         if emit_progress:
             from datetime import datetime, timezone
             yield pd.DataFrame([{

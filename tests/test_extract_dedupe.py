@@ -80,12 +80,14 @@ def test_stats_accumulator_collects_per_bucket():
     rows = [dict(r, part_bucket=i % 2) for i, r in enumerate(ROWS)]
     out = _run(_make_kernel(("conv_id", "turn_idx"), stats_acc=acc), rows)
     assert set(acc.value) == {0, 1}
-    n_rows = sum(v[0] for v in acc.value.values())
-    assert n_rows == len(out)
-    raw_bytes = sum(v[1] for v in acc.value.values())
+    # v[0] = TRUE input rows (pre-dedupe: feeding a duplicate-heavy
+    # corpus must not deflate lineage input_rows), v[1] = kept rows
+    assert sum(v[0] for v in acc.value.values()) == len(rows)
+    assert sum(v[1] for v in acc.value.values()) == len(out)
+    raw_bytes = sum(v[2] for v in acc.value.values())
     assert raw_bytes == int(out.metadata.map(lambda m: int(m["raw_len"])).sum())
-    assert all(v[2] == 0 for v in acc.value.values())  # no error rows
-    assert all(v[3] >= 0 for v in acc.value.values())  # wall_us
+    assert all(v[3] == 0 for v in acc.value.values())  # no error rows
+    assert all(v[4] >= 0 for v in acc.value.values())  # wall_us
 
 
 def test_pdf_ocr_fallback_hook(monkeypatch):

@@ -92,7 +92,11 @@ def test_lineage_without_output_rescan(spark, transcripts_path, tmp_path):
                   on_disk.groupBy("part_bucket").agg(F.count("*").alias("n"))
                   .collect()}
     assert dict(zip(lineage.part_bucket, lineage.output_rows)) == per_bucket
-    assert stats.input_rows == sum(per_bucket.values())
+    # input_rows is the TRUE scan size (pre-dedupe); the fixture carries
+    # duplicate (conv_id, turn_idx) turns, so it exceeds the on-disk count
+    assert stats.input_rows == df.count()
+    assert sum(per_bucket.values()) == \
+        df.dropDuplicates(["conv_id", "turn_idx"]).count()
     errs_on_disk = {r["part_bucket"]: r["n"] for r in
                     on_disk.filter(F.col("status") == "error")
                     .groupBy("part_bucket").agg(F.count("*").alias("n"))

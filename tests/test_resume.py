@@ -63,3 +63,19 @@ def test_rerun_bucket_is_idempotent(spark, roots, golden_pdf):
     merged = out.merge(golden_pdf, on=["conv_id", "turn_idx"],
                        suffixes=("", "_g"), validate="one_to_one")
     assert (merged.extracted_text == merged.extracted_text_g).all()
+
+
+def test_resume_keyed_on_n_buckets(spark, roots):
+    """Lineage written under one bucketing must not satisfy the skip
+    probe of another: pmod(h, 8) and pmod(h, 32) partitions are
+    unrelated, so a --n-buckets change re-extracts instead of silently
+    skipping the whole input."""
+    df, root = roots  # warehouse completed at N_BUCKETS=8 by earlier tests
+    assert catalog.completed_buckets(
+        spark, root, EXTRACTOR_VERSION, n_buckets=N_BUCKETS)
+    assert catalog.completed_buckets(
+        spark, root, EXTRACTOR_VERSION, n_buckets=32) == []
+    # a run with different bucketing skips nothing and processes rows
+    run = run_extract_job(spark, df, root, n_buckets=4, salt=2)
+    assert run.buckets_skipped == []
+    assert run.input_rows == df.count()
