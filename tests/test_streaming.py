@@ -165,3 +165,56 @@ def test_sessionizer_progress_mode(spark, tmp_path):
     # A opened, then closed by B's watermark advance; B still open
     assert ("A", False) in rows and ("B", False) in rows
     assert ("A", True) in rows and ("B", True) not in rows
+
+
+def test_sessionizer_null_ts_after_watermark_advance(spark, tmp_path):
+    """Regression (review r2): a null-ts turn for a PAST-DUE session,
+    processed in a batch whose watermark already exceeds the session's
+    stale last_ts+gap, must not kill the query. Pre-fix, the kernel
+    re-armed the timeout with the stale timestamp and
+    setTimeoutTimestamp raised below the watermark. maxFilesPerTrigger=1
+    forces the watermark-advancing file and the null-ts file into
+    separate batches of ONE run."""
+    import os as _os
+    import time as _time
+    from datetime import datetime, timezone
+
+    def ts(mins):
+        return datetime(2026, 1, 1, tzinfo=timezone.utc) \
+            + pd.Timedelta(minutes=mins)
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    gap = 5 * 60 * 1000
+    # run 1: open session A
+    _write_turns(inp / "b1.parquet",
+                 [("A", 0, "user", "hello", None, ts(0))])
+    q = ST.start_sessionizer(spark, str(inp), out, ckpt, gap_ms=gap)
+    q.awaitTermination(120)
+
+    # run 2, batch 1: C pushes the watermark an hour forward;
+    # batch 2: a null-ts turn for A arrives under that watermark
+    _write_turns(inp / "b2.parquet",
+                 [("C", 0, "user", "zzz", None, ts(60))])
+    _write_turns(inp / "b3.parquet",
+                 [("A", 1, "assistant", "late-null", None, None)])
+    now = _time.time()
+    _os.utime(inp / "b2.parquet", (now - 20, now - 20))
+    _os.utime(inp / "b3.parquet", (now, now))
+    sessions = ST.sessionize_conversations(
+        ST.read_transcript_stream(spark, str(inp), max_files_per_trigger=1),
+        gap_ms=gap, emit_progress=False)
+    q = (sessions.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)  # pre-fix: StreamingQueryException here
+    # A re-armed at watermark+1 (not the stale timestamp), so a later
+    # watermark-advancing run closes it instead of crashing
+    _write_turns(inp / "b4.parquet",
+                 [("D", 0, "user", "more", None, ts(61))])
+    q = ST.start_sessionizer(spark, str(inp), out, ckpt, gap_ms=gap)
+    q.awaitTermination(120)
+    closed = {r.conv_id: r for r in spark.read.parquet(out).collect()}
+    assert "A" in closed and closed["A"].closed
+    assert closed["A"].n_turns == 1  # the null-ts turn was dropped
