@@ -501,6 +501,19 @@ def write_bench_md(scaling: dict) -> None:
         f"Generated by `python bench.py --scaling` on "
         f"{time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}.",
         "",
+        "## Per-run host-interference marker (bench.py headline mode)",
+        "",
+        "Every `python bench.py` headline run embeds",
+        "`host_cal_miters_24p`: aggregate M-iters/s of a 24-process",
+        "pure-CPU busy loop run right after the Spark session closes.",
+        "This is a DIFFERENT (simpler) loop than the calibration table",
+        "above, so it has its own reference scale: quiet-host samples",
+        "cluster at 420-550 M-iters/s (sampled max 551). Read it as a",
+        "flag, not a ratio — a run whose marker sits well under ~400 was",
+        "taken during a host-steal burst and its wall times are inflated",
+        "by the HOST, not by the code; compare such runs against the",
+        "pooled minima, never at face value.",
+        "",
     ]
     skew_path = os.path.join(REPO, "BENCH", "last_skew.json")
     if os.path.exists(skew_path):
