@@ -40,7 +40,9 @@ class ImageError(ValueError):
 # netpbm (PGM/PPM)
 # ---------------------------------------------------------------------------
 
-_PNM_WS = re.compile(rb"^(?:\s+|#[^\n]*\n)+")
+# no ^ anchor: matched with pattern.match(buf, i), which anchors at i
+# WITHOUT slicing — buf[i:] per token made ASCII decode O(n^2)
+_PNM_WS = re.compile(rb"(?:\s+|#[^\n]*\n)+")
 
 
 def _pnm_tokens(buf: bytes, start: int, count: int) -> tuple[list[int], int]:
@@ -48,9 +50,9 @@ def _pnm_tokens(buf: bytes, start: int, count: int) -> tuple[list[int], int]:
     out: list[int] = []
     i = start
     while len(out) < count:
-        m = _PNM_WS.match(buf[i:])
+        m = _PNM_WS.match(buf, i)
         if m:
-            i += m.end()
+            i = m.end()
         j = i
         while j < len(buf) and buf[j : j + 1].isdigit():
             j += 1
@@ -81,6 +83,11 @@ def decode_pnm(buf: bytes) -> np.ndarray:
         px = np.frombuffer(buf, dtype=np.uint8, count=n, offset=i)
     else:
         vals, _ = _pnm_tokens(buf, i, n)
+        if vals and max(vals) > maxval:
+            # np.asarray(uint8) silently wraps on numpy 1.x and raises a
+            # bare OverflowError on 2.x — keep the typed-error contract
+            raise ImageError(
+                f"netpbm sample {max(vals)} exceeds maxval {maxval}")
         px = np.asarray(vals, dtype=np.uint8)
     if maxval != 255:
         px = (px.astype(np.uint16) * 255 // maxval).astype(np.uint8)
@@ -348,6 +355,12 @@ def _decode_real(buf: bytes) -> np.ndarray:  # pragma: no cover - no libs here
     arr = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_UNCHANGED)
     if arr is None:
         raise ImageError("cv2.imdecode failed")
+    # module contract: decoders return gray or RGB — cv2 hands back
+    # BGR/BGRA, which would swap the red/blue luma weights in to_gray
+    if arr.ndim == 3 and arr.shape[2] == 4:
+        arr = arr[:, :, :3]
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        arr = arr[:, :, ::-1]
     return arr
 
 
@@ -358,6 +371,10 @@ def decode_image(buf: bytes) -> np.ndarray:
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     if buf[:4] == b"FIMG":
+        if len(buf) < 8:
+            # struct.error is not a ValueError subclass — a truncated
+            # header must keep the typed-error contract
+            raise ImageError("truncated FIMG header")
         w, h = struct.unpack(">HH", buf[4:8])
         return decode_raw_gray(buf[8:], w, h)
     if buf[:8] == _PNG_SIG:

@@ -138,12 +138,19 @@ def _xlsx_cell_str(c, shared: list[str]) -> str | None:
             return shared[int(v.text)]
         except (ValueError, IndexError) as exc:
             raise OfficeError(f"bad shared string ref: {v.text}") from exc
-    if t in ("str", "e"):
+    if t in ("str", "e", "d"):
+        # "d" = ISO-8601 date cell (spec-valid, some producers emit it):
+        # the text IS the value — the numeric fallback would choke on it
         return v.text
     if t == "b":
         return str(v.text.strip() not in ("0", "false", ""))
     # numeric: openpyxl yields int for integral values, float otherwise
-    num = float(v.text)
+    try:
+        num = float(v.text)
+    except ValueError as exc:
+        # keep the typed-error contract — one malformed cell must raise
+        # OfficeError, not a bare ValueError
+        raise OfficeError(f"bad numeric cell value: {v.text!r}") from exc
     return str(int(num)) if num.is_integer() else str(num)
 
 

@@ -27,7 +27,10 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
-_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+# ISO 32000 §7.7.3.1 also allows the array form /Contents [3 0 R 4 0 R]
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]")
+# ISO 32000 §7.3.3: reals may end with the dot ('10.') or start with it
+_NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
 
 # TJ kerning threshold (thousandths of text space) below which a space is
 # inserted — SPEC.md §4 step 3.
@@ -97,37 +100,75 @@ def _decode_stream(head: bytes, raw: bytes) -> bytes:
 
 def _ordered_pages(objs: dict[int, tuple[bytes, bytes | None]]
                    ) -> list[tuple[int, bytes]]:
-    """Page objects in document order: root /Pages /Kids when present,
-    else object-number order. Returns [(page_obj_num, page_dict_head)]."""
+    """Page objects in document order: depth-first walk of the page TREE
+    from its root(s), else object-number order. Returns
+    [(page_obj_num, page_dict_head)].
+
+    The tree may be nested (ISO 32000 §7.7.3.2: intermediate /Pages
+    nodes) — a flat 'last /Kids wins' read keeps only one subtree and
+    silently drops the others' pages. Roots are /Pages nodes that no
+    other /Pages lists as a kid; a visited set makes malformed cyclic
+    trees terminate instead of recursing forever."""
     pages: dict[int, bytes] = {}
-    kids_order: list[int] = []
+    kids_of: dict[int, list[int]] = {}
     for num, (head, _stream) in objs.items():
         if re.search(rb"/Type\s*/Page\b(?!s)", head):
             pages[num] = head
         elif re.search(rb"/Type\s*/Pages\b", head):
             km = _KIDS_RE.search(head)
-            if km:
-                kids_order = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
+            kids_of[num] = [int(r.group(1))
+                            for r in _REF_RE.finditer(km.group(1))] \
+                if km else []
     if not pages:
         raise PdfError("no /Type /Page objects")
-    ordered = [n for n in kids_order if n in pages] or sorted(pages)
+    listed = {k for kids in kids_of.values() for k in kids}
+    roots = sorted(n for n in kids_of if n not in listed)
+    order: list[int] = []
+    seen: set[int] = set()
+    stack = list(reversed(roots))
+    while stack:
+        n = stack.pop()
+        if n in seen:
+            continue  # malformed cycle / duplicate ref
+        seen.add(n)
+        if n in pages:
+            order.append(n)
+        else:
+            stack.extend(reversed(kids_of.get(n, [])))
+    ordered = order or sorted(pages)
     return [(n, pages[n]) for n in ordered]
+
+
+def _content_refs(head: bytes) -> list[int]:
+    """Object numbers of a page's content stream(s): the single-ref form
+    or the spec's array form /Contents [3 0 R 4 0 R] (whose streams
+    concatenate in order, §7.8.2)."""
+    am = _CONTENTS_ARR_RE.search(head)
+    if am:
+        return [int(r.group(1)) for r in _REF_RE.finditer(am.group(1))]
+    cm = _CONTENTS_RE.search(head)
+    return [int(cm.group(1))] if cm else []
 
 
 def _page_content_streams(objs: dict[int, tuple[bytes, bytes | None]]) -> list[bytes]:
     streams: list[bytes] = []
     for _num, head in _ordered_pages(objs):
-        cm = _CONTENTS_RE.search(head)
-        if cm is None:
+        refs = _content_refs(head)
+        if not refs:
             # /Contents is optional per the PDF spec (a blank page) — skip
             # it, matching the oracle (oracle/extractor.py:_pdf_pages keeps
             # only pages WITH a /Contents ref). Raising here would flip a
             # 9-good-pages document into a whole-doc error row.
             continue
-        entry = objs.get(int(cm.group(1)))
-        if entry is None or entry[1] is None:
-            raise PdfError(f"missing /Contents stream object {cm.group(1).decode()}")
-        streams.append(_decode_stream(entry[0], entry[1]))
+        parts = []
+        for ref in refs:
+            entry = objs.get(ref)
+            if entry is None or entry[1] is None:
+                raise PdfError(f"missing /Contents stream object {ref}")
+            parts.append(_decode_stream(entry[0], entry[1]))
+        # §7.8.2: multiple streams form one content stream, separated by
+        # at least one whitespace byte
+        streams.append(b"\n".join(parts))
     if not streams:
         raise PdfError("no page has /Contents")  # oracle: 'no pages'
     return streams

@@ -154,9 +154,15 @@ def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
     partition/bucket column of the stored table (one `sign_bucket`
     write-side projection); the same equality then becomes partition
     pruning and only the query's bucket is ever READ."""
+    # wrap indices modulo dim EXACTLY like sign_bucket's row-side
+    # expression: an unwrapped query[d] crashes when dim < n_bits, and
+    # even when len(query) allows it, unwrapped bits d >= dim would read
+    # different dims than the rows' wrapped bits — the query would land
+    # in the wrong bucket and recall would silently collapse
     qb = 0
-    for d in range(n_bits):
-        qb |= (1 << d) if query[d] >= 0 else 0
+    if query:
+        for d in range(n_bits):
+            qb |= (1 << d) if query[d % len(query)] >= 0 else 0
     return (
         df.withColumn("bucket", sign_bucket(vec_col, n_bits))
         .filter(F.col("bucket") == qb)

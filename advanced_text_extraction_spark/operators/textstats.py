@@ -63,8 +63,15 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def lang_id_sql(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """SQL-expressible stopword-profile language id (SPEC.md §5 marker
-    sets, ≥2-hit threshold, alphabetical tie-break) — the codegen'd twin
-    of kernels/lang.py for corpora where per-row Python is not worth it."""
+    sets, ≥2-hit threshold, alphabetical tie-break) — the codegen'd
+    COUNTERPART of kernels/lang.py for corpora where per-row Python is
+    not worth it. NOT a bit-exact twin: this tier counts ``\\b``-bounded
+    hits, so a stopword butted against digits/underscores ('was3the3')
+    contributes no hit here but does in the kernel's letters-only
+    tokenizer ([a-zA-ZÀ-ɏ]+). The divergence only shows on id/log-like
+    text; prose labels identically. (Aligning them would need lookbehind
+    — which RE2/DuckDB lacks — or an alternation that undercounts
+    adjacent stopwords; the honest trade is documented instead.)"""
     lowered = F.lower(F.col(text_col))
     hit_cols = {
         lang: F.regexp_count(

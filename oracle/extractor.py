@@ -273,20 +273,47 @@ def _pdf_objects(b: bytes):
 
 
 def _pdf_pages(objs):
-    kids, pages = [], {}
+    # depth-first page-tree walk (nested /Pages nodes are spec-valid —
+    # a flat 'last /Kids wins' read drops whole subtrees); /Contents
+    # may be a single ref or the array form, whose streams concatenate
+    page_heads, kids_of = {}, {}
     for num, (head, _) in objs.items():
         if re.search(rb"/Type\s*/Pages\b", head):
             km = re.search(rb"/Kids\s*\[(.*?)\]", head, re.DOTALL)
-            if km:
-                kids = [int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", km.group(1))]
+            kids_of[num] = [int(x) for x in
+                            re.findall(rb"(\d+)\s+\d+\s+R", km.group(1))] \
+                if km else []
         elif re.search(rb"/Type\s*/Page\b(?!s)", head):
-            cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", head)
-            if cm:
-                pages[num] = int(cm.group(1))
-    if not pages:
+            page_heads[num] = head
+    if not page_heads:
         raise ValueError("no pages")
-    order = [k for k in kids if k in pages] or sorted(pages)
-    return [objs[pages[k]][1] for k in order]
+    listed = {k for kk in kids_of.values() for k in kk}
+    roots = sorted(n for n in kids_of if n not in listed)
+    order, seen, stack = [], set(), list(reversed(roots))
+    while stack:
+        n = stack.pop()
+        if n in seen:
+            continue  # malformed cycle / duplicate ref
+        seen.add(n)
+        if n in page_heads:
+            order.append(n)
+        else:
+            stack.extend(reversed(kids_of.get(n, [])))
+    streams = []
+    for k in order or sorted(page_heads):
+        head = page_heads[k]
+        am = re.search(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]", head)
+        if am:
+            refs = [int(x) for x in
+                    re.findall(rb"(\d+)\s+\d+\s+R", am.group(1))]
+        else:
+            cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", head)
+            refs = [int(cm.group(1))] if cm else []
+        if refs:
+            streams.append(b"\n".join(objs[r][1] for r in refs))
+    if not streams:
+        raise ValueError("no pages")
+    return streams
 
 
 def _pdf_string(b: bytes, i: int):
@@ -324,7 +351,8 @@ def _pdf_string(b: bytes, i: int):
 
 
 _TOK = re.compile(
-    rb"\s+|%[^\n]*|<<|>>|\[|\]|/[^\s()<>\[\]{}/%]*|[-+]?\d*\.?\d+"
+    rb"\s+|%[^\n]*|<<|>>|\[|\]|/[^\s()<>\[\]{}/%]*"
+    rb"|[-+]?(?:\d+\.?\d*|\.\d+)"  # ISO 32000 §7.3.3: '10.' is a real
     rb"|[A-Za-z'\"*]+|<[0-9A-Fa-f\s]*>|\(|."
 )
 
@@ -365,7 +393,8 @@ def _pdf_runs(stream: bytes):
             push(("a", a))
         elif tok.startswith(b"/"):
             push(("n", tok.decode("latin-1")))
-        elif re.fullmatch(rb"[-+]?\d*\.?\d+", tok):
+        elif re.fullmatch(rb"[-+]?(?:\d+\.?\d*|\.\d+)", tok):
+            # ISO 32000 §7.3.3: reals may end with the dot ('10.')
             push(("f", float(tok)))
         else:
             op = tok.decode("latin-1")

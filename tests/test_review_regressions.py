@@ -381,3 +381,113 @@ def test_unigram_logprob_trailing_newline(spark):
     assert out[2]["n_tokens"] == 1
     assert out[2]["mean_logprob"] == pytest.approx(
         round(lp_h, 6), abs=1e-9)
+
+
+# ---------------------- PDF spec-form coverage (review round 3 findings)
+
+def _pdf_doc(objects: dict[int, bytes]) -> bytes:
+    """Assemble a minimal PDF from {obj_num: body} parts."""
+    out = [b"%PDF-1.4"]
+    for num, body in sorted(objects.items()):
+        out.append(b"%d 0 obj %s endobj" % (num, body))
+    out.append(b"%%EOF")
+    return b"\n".join(out)
+
+
+def _content_obj(ops: bytes) -> bytes:
+    return b"<< /Length %d >>\nstream\n%s\nendstream" % (len(ops), ops)
+
+
+def test_pdf_nested_page_tree_keeps_all_pages():
+    """Intermediate /Pages nodes are spec-valid; a flat 'last Kids wins'
+    read dropped whole subtrees. Engine and oracle walk the tree."""
+    doc = _pdf_doc({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+        3: b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+        4: b"<< /Type /Pages /Kids [6 0 R] /Count 1 >>",
+        5: b"<< /Type /Page /Parent 3 0 R /Contents 7 0 R >>",
+        6: b"<< /Type /Page /Parent 4 0 R /Contents 8 0 R >>",
+        7: _content_obj(b"BT 10 700 Td (PAGE ONE HERE) Tj ET"),
+        8: _content_obj(b"BT 10 700 Td (PAGE TWO HERE) Tj ET"),
+    })
+    text, _spans, _gate, n_pages = extract_pdf(doc)
+    assert n_pages == 2
+    assert "PAGE ONE HERE" in text and "PAGE TWO HERE" in text
+    assert text.index("PAGE ONE HERE") < text.index("PAGE TWO HERE")
+    assert oracle_extract_pdf(doc)[0] == text  # twin stays a twin
+
+
+def test_pdf_contents_array_form():
+    """/Contents [N 0 R M 0 R] is spec-valid: the streams concatenate;
+    the single-ref-only regex treated such pages as blank."""
+    doc = _pdf_doc({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>",
+        4: _content_obj(b"BT 10 700 Td (FIRST STREAM) Tj ET"),
+        5: _content_obj(b"BT 10 650 Td (SECOND STREAM) Tj ET"),
+    })
+    text = extract_pdf(doc)[0]
+    assert "FIRST STREAM" in text and "SECOND STREAM" in text
+    assert oracle_extract_pdf(doc)[0] == text
+
+
+def test_pdf_trailing_dot_real():
+    """'10.' is a valid real (ISO 32000 §7.3.3); lexed as an operator it
+    cleared the stack and skipped the Td, merging two lines into one."""
+    ops = b"BT 10 700 Td (LINE A) Tj 10. -50 Td (LINE B) Tj ET"
+    doc = _pdf_doc({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: _content_obj(ops),
+    })
+    text = extract_pdf(doc)[0]
+    assert text == "LINE A\nLINE B"
+    assert oracle_extract_pdf(doc)[0] == text
+
+
+def test_image_codec_typed_errors_and_range():
+    """Truncated FIMG headers and out-of-range ASCII netpbm samples must
+    raise ImageError, not struct.error / numpy wrap-or-OverflowError."""
+    from advanced_text_extraction_spark.kernels.image_codec import (
+        ImageError, decode_image, decode_pnm)
+    with pytest.raises(ImageError):
+        decode_image(b"FIMG")
+    with pytest.raises(ImageError):
+        decode_image(b"FIMG\x00\x01")
+    with pytest.raises(ImageError):
+        decode_pnm(b"P2 2 1 255 300 1")
+
+
+def test_xlsx_date_cell_and_bad_numeric():
+    """A t="d" ISO-date cell is spec-valid (text IS the value); a
+    malformed numeric cell raises OfficeError, not bare ValueError."""
+    import xml.etree.ElementTree as ET
+
+    from advanced_text_extraction_spark.kernels.office_extract import (
+        _S, OfficeError, _xlsx_cell_str)
+
+    def cell(t, text):
+        attr = f' t="{t}"' if t else ""
+        return ET.fromstring(
+            f'<c xmlns="{_S.strip("{}")}"{attr}><v>{text}</v></c>')
+
+    assert _xlsx_cell_str(cell("d", "2020-01-01"), []) == "2020-01-01"
+    assert _xlsx_cell_str(cell("", "2.5"), []) == "2.5"
+    with pytest.raises(OfficeError):
+        _xlsx_cell_str(cell("", "not-a-number"), [])
+
+
+def test_lsh_bucket_topk_small_dim_query(spark):
+    """The query-side bucket wraps modulo dim exactly like sign_bucket's
+    row expression — 4-dim embeddings with n_bits=8 crashed pre-fix."""
+    from advanced_text_extraction_spark.operators.similarity import (
+        lsh_bucket_topk)
+    rows = [(i, [1.0, -1.0, 1.0, 1.0]) for i in range(5)] + \
+           [(9, [-1.0, 1.0, -1.0, -1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = lsh_bucket_topk(df, [1.0, -1.0, 1.0, 1.0], k=10, n_bits=8)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert set(ids) == {0, 1, 2, 3, 4}  # the matching-sign bucket only
