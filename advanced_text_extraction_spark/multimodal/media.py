@@ -47,11 +47,18 @@ MEDIA_SCHEMA = T.StructType([
 # ---------------------------------------------------------------------------
 
 def _decode_fake_image(buf: bytes) -> np.ndarray:
+    # delegates to the kernel codec (ONE FIMG decoder in the codebase):
+    # it validates the header and buffer-vs-w*h length with typed errors
+    # — the previous inline copy surfaced truncation as a bare reshape
+    # ValueError with a different message
+    from ..kernels.image_codec import decode_raw_gray
+
     if buf[:4] != b"FIMG":
         raise ValueError("not a FIMG payload")
+    if len(buf) < 8:
+        raise ValueError("truncated FIMG header")
     w, h = struct.unpack(">HH", buf[4:8])
-    px = np.frombuffer(buf[8:8 + w * h], dtype=np.uint8)
-    return px.reshape(h, w)
+    return decode_raw_gray(buf[8:8 + w * h], w, h)
 
 
 def _encode_fake_image(arr: np.ndarray) -> bytes:
@@ -163,18 +170,27 @@ def resize_images(df: DataFrame, scale: int = 2,
                   codec: str = "fake") -> DataFrame:
     """Downsample by integer stride (numpy slicing — the stand-in for a
     real resampler); re-encoded into the same container format so the
-    output is again an opaque media table."""
+    output is again an opaque media table. Failure-as-data like
+    image_stats: an undecodable payload passes through unchanged with
+    meta.status='error' instead of failing the task 4× and killing the
+    whole job."""
     decode = IMAGE_CODECS[codec]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr = decode(bytes(payload))[::scale, ::scale]
-                out.append((int(mid), "image", _encode_fake_image(arr),
-                            {"width": str(arr.shape[1]),
-                             "height": str(arr.shape[0]),
-                             "resized_from": str(scale)}))
+                try:
+                    arr = decode(bytes(payload))[::scale, ::scale]
+                    out.append((int(mid), "image", _encode_fake_image(arr),
+                                {"width": str(arr.shape[1]),
+                                 "height": str(arr.shape[0]),
+                                 "resized_from": str(scale),
+                                 "status": "ok"}))
+                except Exception as exc:
+                    out.append((int(mid), "image", bytes(payload),
+                                {"status": "error",
+                                 "error": type(exc).__name__}))
             yield pd.DataFrame(out, columns=["media_id", "kind", "payload",
                                              "meta"])
 
@@ -191,19 +207,27 @@ FRAME_SCHEMA = T.StructType([
 
 def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
     """Frame sampling: one output row per kept frame (row-exploding
-    mapInPandas — the UDTF shape)."""
+    mapInPandas — the UDTF shape). Malformed payloads (non-FVID, or a
+    header claiming more frames than the buffer holds) contribute only
+    their parseable prefix of frames and NEVER fail the task — an
+    exploding schema has no room for error rows, so callers needing
+    error surfacing run image_stats-style operators first."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 buf = bytes(payload)
-                if buf[:4] != b"FVID":
+                if len(buf) < 6 or buf[:4] != b"FVID":
                     continue
                 (nf,) = struct.unpack(">H", buf[4:6])
                 off = 6
                 for fidx in range(nf):
+                    if off + 8 > len(buf):
+                        break  # truncated header: keep parsed prefix
                     w, h = struct.unpack(">HH", buf[off + 4:off + 8])
                     end = off + 8 + w * h
+                    if end > len(buf):
+                        break  # truncated frame body
                     if fidx % every == 0:
                         rows.append((int(mid), fidx, buf[off:end]))
                     off = end
@@ -250,17 +274,24 @@ AUDIO_STATS_SCHEMA = T.StructType([
 
 
 def audio_stats(df: DataFrame) -> DataFrame:
-    """Decode fake-PCM audio → duration + RMS energy."""
+    """Decode fake-PCM audio → duration + RMS energy. Stats are computed
+    over the samples ACTUALLY present: a truncated payload reports its
+    real sample count, never the header's claim over missing bytes (the
+    silent-wrong-data trap), and degenerate headers (sr=0, no samples)
+    are skipped rather than dividing by zero and failing the task."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 buf = bytes(payload)
-                if buf[:4] != b"FAUD":
+                if len(buf) < 10 or buf[:4] != b"FAUD":
                     continue
                 sr, ns = struct.unpack(">HI", buf[4:10])
                 pcm = np.frombuffer(buf[10:10 + ns], dtype=np.int8
                                     ).astype(np.float64)
+                if sr <= 0 or len(pcm) == 0:
+                    continue
+                ns = len(pcm)  # truth over header claim on truncation
                 rows.append((int(mid), sr, ns, ns / sr,
                              float(np.sqrt((pcm ** 2).mean()))))
             yield pd.DataFrame(rows,

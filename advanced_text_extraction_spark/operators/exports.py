@@ -62,8 +62,25 @@ def export_json(df: DataFrame, path: str, cols: list[str] | None = None,
         "total_records": n,
         "format": "json-lines",
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as f:
-        json.dump(manifest, f)
+    _write_sidecar(path, "_manifest.json", json.dumps(manifest))
+
+
+def _write_sidecar(dir_path: str, name: str, content: str) -> None:
+    """Driver-side sidecar write through pyarrow's FileSystem so the
+    manifest lands beside the export on ANY warehouse scheme (file://,
+    s3://, hdfs://) — a local open() would raise AFTER the distributed
+    write already succeeded on any non-local path."""
+    from pyarrow import fs as pafs
+
+    try:
+        filesystem, base = pafs.FileSystem.from_uri(dir_path)
+    except Exception:
+        if "://" in dir_path:
+            raise  # unmountable scheme: surface it, don't probe locally
+        filesystem = pafs.LocalFileSystem()
+        base = os.path.abspath(dir_path)
+    with filesystem.open_output_stream(f"{base}/{name}") as f:
+        f.write(content.encode())
 
 
 def export_csv(df: DataFrame, path: str, cols: list[str] | None = None,
@@ -83,15 +100,19 @@ def export_txt(df: DataFrame, path: str, partitions: int | None = None) -> None:
     """K4 — human-readable text blocks with '='*80 separators (reference
     text_extractor.py:1187-1203). One formatted string column → text sink."""
     sep = "=" * 80
+
+    def _s(col):  # NULL-safe: concat() nulls the WHOLE banner otherwise
+        return F.coalesce(F.col(col).cast("string"), F.lit(""))
+
     block = F.concat_ws(
         "\n",
         F.lit(sep),
-        F.concat(F.lit("conv: "), F.col("conv_id"),
-                 F.lit("  turn: "), F.col("turn_idx").cast("string"),
-                 F.lit("  type: "), F.col("content_type"),
-                 F.lit("  confidence: "), F.col("confidence").cast("string")),
+        F.concat(F.lit("conv: "), _s("conv_id"),
+                 F.lit("  turn: "), _s("turn_idx"),
+                 F.lit("  type: "), _s("content_type"),
+                 F.lit("  confidence: "), _s("confidence")),
         F.lit(sep),
-        F.col("extracted_text"),
+        F.coalesce(F.col("extracted_text"), F.lit("")),
         F.lit(""),
     )
     out = df.select(block.alias("value"))

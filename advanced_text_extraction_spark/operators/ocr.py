@@ -168,6 +168,12 @@ def pdf_ocr_pages(df: DataFrame, id_col: str = "doc_id",
                         doc_rows.append((int(did), p, text, conf, "ok"))
                 except Exception:
                     doc_rows = [(int(did), -1, "", 0.0, "error")]
+                if not doc_rows:
+                    # a PDF that parses into objects but yields zero page
+                    # objects (object-stream pages, truncation after the
+                    # catalog) must not VANISH from the output — the
+                    # invariant is all pages or ONE error row
+                    doc_rows = [(int(did), -1, "", 0.0, "error")]
                 rows.extend(doc_rows)
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               PDF_PAGE_OCR_SCHEMA.fields])
@@ -183,9 +189,13 @@ def pdf_ocr_pages(df: DataFrame, id_col: str = "doc_id",
 def token_confidence_stats(ocr_df: DataFrame) -> DataFrame:
     """A6: mean of positive token confidences / 100, per document.
     Columnar re-expression of the tesseract dict aggregation (:431-437):
-    explode token_confs -> filter conf > 0 (P5) -> avg / 100."""
+    explode token_confs -> filter conf > 0 (P5) -> avg / 100. Docs with
+    no positive-confidence tokens (error rows, empty scans) emit no row
+    — by design, matching the reference's dict aggregation over found
+    tokens only (an explode_outer here would be dead code: its NULL
+    placeholder rows cannot survive the conf > 0 filter)."""
     tok = ocr_df.select("media_id",
-                        F.explode_outer("token_confs").alias("conf"))
+                        F.explode("token_confs").alias("conf"))
     return tok.filter(F.col("conf") > 0) \
         .groupBy("media_id") \
         .agg((F.avg("conf") / 100.0).alias("token_conf_mean"),

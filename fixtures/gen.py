@@ -223,7 +223,12 @@ def build_pdf(pages: list[list[str]], rng: random.Random, flate: bool) -> bytes:
                 + stream + b"\nendstream"
             )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return _emit_pdf(objs)
 
+
+def _emit_pdf(objs: list[bytes]) -> bytes:
+    """Serialize numbered objects into a complete PDF (header, bodies,
+    xref table, trailer) — the ONE emitter both generators share."""
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, body in enumerate(objs, start=1):
@@ -294,20 +299,7 @@ def build_scanned_pdf(pages_text: list[str], scale: int = 3) -> bytes:
         draw = f"q {w} 0 0 {h} 72 {720 - h} cm /Im0 Do Q".encode()
         objs.append(f"<< /Length {len(draw)} >>\nstream\n".encode()
                     + draw + b"\nendstream")
-
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for i, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
-    xref_pos = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
-            f"startxref\n{xref_pos}\n%%EOF\n").encode()
-    return bytes(out)
+    return _emit_pdf(objs)
 
 
 def gen_scanned_pdf_payload(rng: random.Random) -> tuple[str, str]:
@@ -476,13 +468,18 @@ def gen_transcripts(n_turns: int = 2000, n_convs: int = 50,
     nrng = np.random.default_rng(seed)
 
     # conv-0 ≈ 20% of turns; remainder Zipf-ish over the other convs
-    sizes = {0: max(1, int(n_turns * 0.2))}
-    weights = 1.0 / np.arange(1, n_convs)
-    weights /= weights.sum()
-    rest = n_turns - sizes[0]
-    alloc = nrng.multinomial(rest, weights)
-    for c in range(1, n_convs):
-        sizes[c] = int(alloc[c - 1])
+    if n_convs == 1:
+        # the Zipf weights below are over convs 1..n-1 — empty pvals
+        # would crash multinomial for the single-conversation case
+        sizes = {0: n_turns}
+    else:
+        sizes = {0: max(1, int(n_turns * 0.2))}
+        weights = 1.0 / np.arange(1, n_convs)
+        weights /= weights.sum()
+        rest = n_turns - sizes[0]
+        alloc = nrng.multinomial(rest, weights)
+        for c in range(1, n_convs):
+            sizes[c] = int(alloc[c - 1])
 
     rows: list[dict] = []
     for c in range(n_convs):

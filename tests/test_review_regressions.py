@@ -491,3 +491,75 @@ def test_lsh_bucket_topk_small_dim_query(spark):
     got = lsh_bucket_topk(df, [1.0, -1.0, 1.0, 1.0], k=10, n_bits=8)
     ids = [r["vec_id"] for r in got.collect()]
     assert set(ids) == {0, 1, 2, 3, 4}  # the matching-sign bucket only
+
+
+# ------------------- multimodal failure-as-data (review round 3, part 2)
+
+def test_resize_images_error_row_not_job_kill(spark):
+    from advanced_text_extraction_spark.multimodal.media import resize_images
+    rows = [(1, "image", bytearray(b"NOTANIMAGE"), {}),
+            (2, "image", bytearray(
+                b"FIMG" + (2).to_bytes(2, "big") + (2).to_bytes(2, "big")
+                + bytes(4)), {})]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, "
+              "meta map<string,string>")
+    got = {r["media_id"]: r for r in resize_images(df).collect()}
+    assert got[1]["meta"]["status"] == "error"
+    assert bytes(got[1]["payload"]) == b"NOTANIMAGE"  # passthrough
+    assert got[2]["meta"]["status"] == "ok"
+
+
+def test_sample_frames_truncated_video_keeps_prefix(spark):
+    import struct as st
+
+    from advanced_text_extraction_spark.multimodal.media import sample_frames
+    frame = b"FIMG" + st.pack(">HH", 2, 2) + bytes(4)
+    # header claims 5 frames, only 2 present
+    payload = b"FVID" + st.pack(">H", 5) + frame + frame
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(payload), {})],
+        "media_id long, kind string, payload binary, "
+        "meta map<string,string>")
+    rows = sample_frames(df, every=1).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1]  # prefix, no crash
+
+
+def test_audio_stats_truncated_and_degenerate(spark):
+    import struct as st
+
+    from advanced_text_extraction_spark.multimodal.media import audio_stats
+    ok = b"FAUD" + st.pack(">HI", 8000, 4) + bytes([1, 2, 3, 4])
+    truncated = b"FAUD" + st.pack(">HI", 8000, 800) + bytes([1, 2])
+    zero_sr = b"FAUD" + st.pack(">HI", 0, 4) + bytes([1, 2, 3, 4])
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(ok), {}),
+         (2, "audio", bytearray(truncated), {}),
+         (3, "audio", bytearray(zero_sr), {})],
+        "media_id long, kind string, payload binary, "
+        "meta map<string,string>")
+    got = {r["media_id"]: r for r in audio_stats(df).collect()}
+    assert got[1]["n_samples"] == 4
+    assert got[2]["n_samples"] == 2  # the samples actually present
+    assert 3 not in got              # sr=0 skipped, not ZeroDivisionError
+
+
+def test_pdf_ocr_zero_page_doc_gets_error_row(spark):
+    """A PDF whose objects parse but that has no /Type /Page must emit
+    ONE error row, not vanish from the output."""
+    from advanced_text_extraction_spark.operators.ocr import pdf_ocr_pages
+    doc = b"%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n%%EOF"
+    df = spark.createDataFrame([(7, bytearray(doc))],
+                               "doc_id long, payload binary")
+    rows = pdf_ocr_pages(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["status"] == "error" and rows[0]["page_idx"] == -1
+
+
+def test_gen_transcripts_single_conversation():
+    from fixtures.gen import gen_transcripts
+    # pre-fix: empty Zipf pvals crashed multinomial; the generator also
+    # appends a few fixture rows (dupes/specials) beyond n_turns/n_convs
+    pdf = gen_transcripts(n_turns=30, n_convs=1, seed=3)
+    assert len(pdf) >= 30
+    assert (pdf["conv_id"] == "conv-0").sum() >= 30
