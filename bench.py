@@ -114,6 +114,8 @@ def run_headline() -> dict:
     from advanced_text_extraction_spark.operators.windows import restore_order
     from advanced_text_extraction_spark.sources.session import build_session
 
+    cal_pre = _calibrate(24)  # bracket the run: a burst can end before a
+    # single post-run sample and make an inflated run look quiet
     spark = build_session(app_name="ate-bench", master=f"local[{CPUS}]")
     timings: dict[str, float] = {}
     try:
@@ -166,10 +168,13 @@ def run_headline() -> dict:
         "extract_turns_per_sec": tps,
         "extract_rows": n_rows,
         "cpus": CPUS,
-        # host-interference context: 24-proc busy-loop M-iters/s;
-        # quiet-host ceiling ~520-550 for THIS probe (see _calibrate).
-        # A value well under ~400 marks the RUN as steal-inflated, not
-        # the code as slower.
+        # host-interference context: 24-proc busy-loop M-iters/s sampled
+        # BEFORE and AFTER the queries; quiet-host ceiling ~520-550 for
+        # this probe (see _calibrate). Either sample well under ~400
+        # marks the RUN as steal-inflated, not the code as slower — and
+        # a burst that starts and ends INSIDE the run can still evade
+        # both samples, so cross-check odd runs against pooled history.
+        "host_cal_miters_24p_pre": cal_pre,
         "host_cal_miters_24p": _calibrate(24),
     }
 
