@@ -121,3 +121,54 @@ def test_unigram_logprob_rare_scores_lower(spark):
         _docs(spark, [(1, "  "), (2, None)], "doc_id long, text string"),
         "doc_id", "text").count()
     assert empty == 0
+
+
+def test_stratified_sample_partitioning_invariant(spark):
+    """The keep/drop decision is a pure function of (id, salt) — the
+    physical partitioning must not change the sample (a random() based
+    sampler would fail this)."""
+    rows = [(i, "x", "en") for i in range(500)]
+    df = _docs(spark, rows)
+    a = {r["doc_id"] for r in stratified_sample(
+        df.repartition(1), "doc_id", "lang", {"en": 0.3}).collect()}
+    b = {r["doc_id"] for r in stratified_sample(
+        df.repartition(17), "doc_id", "lang", {"en": 0.3}).collect()}
+    assert a == b
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants, any input: (1) every doc keeps its tokens;
+    (2) within a (shard, seq_idx), offsets equal the running sum of the
+    id-ordered predecessors; (3) a sequence's last doc STARTS inside the
+    budget (docs may straddle the boundary, later packers split them)."""
+    budget = 37
+    rows = [(i, "w " * (i % 23)) for i in range(300)]
+    out = pack_sequences(
+        _docs(spark, rows, "doc_id long, text string"),
+        "doc_id", "text", budget=budget, n_shards=5).collect()
+    assert len(out) == 300
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in shard_rows:
+            assert r["seq_idx"] == cum // budget
+            assert r["seq_offset"] == cum % budget
+            assert 0 <= r["seq_offset"] < budget
+            cum += r["n_tokens"]
+
+
+def test_unigram_logprob_partitioning_invariant(spark):
+    """Decimal-summed log terms: the mean is bit-identical under any
+    partitioning/aggregation order (a double sum would drift in the
+    last bits and occasionally flip the 6dp rounding)."""
+    rows = [(i, f"tok{i % 17} tok{i % 5} tok{i % 3} common word")
+            for i in range(400)]
+    df = _docs(spark, rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["mean_logprob"] for r in
+         unigram_logprob(df.repartition(1), "doc_id", "text").collect()}
+    b = {r["doc_id"]: r["mean_logprob"] for r in
+         unigram_logprob(df.repartition(13), "doc_id", "text").collect()}
+    assert a == b
