@@ -314,6 +314,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # organic close pairs from the shared vocabulary join them
     q["simhash_neardup_pairs"] = lambda s, d: D.simhash_neardup_pairs(
         _synth_neardup(_spread(_t(s, d, "documents"))), "doc_id", "text")
+    # the corpus-scale call: 60-bit sketch, 4x15-bit bands (32768
+    # buckets/band) — the wide path the 32-bit docstring prescribes
+    q["simhash_neardup_pairs_wide"] = lambda s, d: D.simhash_neardup_pairs(
+        _synth_neardup(_spread(_t(s, d, "documents"))), "doc_id", "text",
+        n_bits=60, band_bits=15)
 
     # ---- corpus-shaping tier (operators/sampling.py): deterministic
     # mix rebalancing, sequence packing, unigram-LM quality proxy ----
@@ -722,6 +727,40 @@ def oracle_sql() -> dict[str, str]:
         bands AS (
             SELECT doc_id, simhash, b AS band,
                    (simhash >> (8 * b)) & 255 AS key
+            FROM sims, UNNEST(generate_series(0, 3)) AS t(b))
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM bands a JOIN bands b USING (band, key)
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+    o["simhash_neardup_pairs_wide"] = """
+        WITH docs2 AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text FROM documents
+            WHERE doc_id % 37 = 0),
+        toks AS (
+            SELECT doc_id, md5(tok) AS h
+            FROM (SELECT doc_id, unnest(string_split_regex(
+                      lower(trim(text)), '[^a-z0-9]+')) AS tok
+                  FROM docs2)
+            WHERE tok <> ''),
+        bits AS (
+            SELECT doc_id, j,
+                   (((strpos('0123456789abcdef',
+                              substring(h, (j // 4) + 1, 1)) - 1)
+                     >> (j % 4)) & 1) * 2 - 1 AS c
+            FROM toks, UNNEST(generate_series(0, 59)) AS b(j)),
+        sums AS (SELECT doc_id, j, sum(c) AS s FROM bits GROUP BY doc_id, j),
+        sims AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM sums GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, simhash, b AS band,
+                   (simhash >> (15 * b)) & 32767 AS key
             FROM sims, UNNEST(generate_series(0, 3)) AS t(b))
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

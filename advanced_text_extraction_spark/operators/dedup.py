@@ -310,37 +310,43 @@ def ngram_jaccard_pairs(shingles: DataFrame, id_col: str,
 
 # bit j of the SimHash spec reads md5-hex nibble j//4, bit j%4. With
 # v = int(hex[:8], 16), hex[0] lands in v's MOST significant nibble, so
-# spec-bit j = (v >> _SIM_SHIFTS[j]) & 1 with this shift permutation:
-_SIM_SHIFTS = [(7 - j // 4) * 4 + j % 4 for j in range(32)]
-
-
-def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """32-bit SimHash over word occurrences. Per token, bit j comes from
-    md5 nibble j//4 (bit j%4); doc bit j = sign of Σ(±1).
+def simhash_sketch(df: DataFrame, id_col: str, text_col: str,
+                   n_bits: int = 32) -> DataFrame:
+    """n_bits-wide SimHash over word occurrences. Per token, spec-bit j
+    comes from md5 nibble j//4 (bit j%4); doc bit j = sign of Σ(±1).
+    n_bits ≤ 60 keeps the value positive in SIGNED 64-bit everywhere
+    (Spark LongType, DuckDB BIGINT, numpy int64) — bit 63 would wrap
+    negative in one engine and error in another.
 
     ONE Arrow-batched mapInPandas pass — no explode, no shuffle: pure map
     work that scales with the scan. (An explode formulation shuffles
-    |tokens|×32 rows per doc; a higher-order-function column formulation
-    is interpreted per element — both lose badly at corpus scale.)
-    Matches the oracle's strpos-based nibble decode bit-for-bit; docs
-    with no tokens emit no row, as in the SQL formulation.
+    |tokens|×n_bits rows per doc; a higher-order-function column
+    formulation is interpreted per element — both lose badly at corpus
+    scale.) Matches the oracle's strpos-based nibble decode bit-for-bit;
+    docs with no tokens emit no row, as in the SQL formulation.
 
     Kernel vectorization (bit-identical to the per-token reference loop):
     tokens collapse to (distinct token, count) — Σ(±1) over occurrences
-    equals count-weighted ±1 over distinct tokens — the 32-bit vote table
-    is one numpy weights·signs product instead of a 32-iteration Python
-    loop per token, and md5 values are memoized per partition (natural
-    text repeats tokens heavily; md5 is deterministic so the cache is
-    semantics-free, bounded at 2^20 entries)."""
+    equals count-weighted ±1 over distinct tokens — the vote table is
+    one numpy weights·signs product instead of an n_bits-iteration
+    Python loop per token, and md5 values are memoized per partition
+    (natural text repeats tokens heavily; md5 is deterministic so the
+    cache is semantics-free, bounded at 2^20 entries)."""
     import numpy as np
 
+    if not 1 <= n_bits <= 60:
+        raise ValueError(f"n_bits must be in [1, 60], got {n_bits}")
     schema = T.StructType([
         df.schema[id_col],
         T.StructField("simhash", T.LongType(), False),
     ])
     tok_re = re.compile(r"[^a-z0-9]+")
-    shifts = np.array(_SIM_SHIFTS, dtype=np.uint32)
-    out_bits = np.arange(32, dtype=np.int64)
+    # token value = first 16 hex chars (64 bits); nibble j//4 of the hex
+    # string sits at bits (15-j//4)*4..+3 — for n_bits=32 this reads the
+    # TOP 32 bits, bit-identical to the old int(hexdigest[:8],16) form
+    shifts = np.array([(15 - j // 4) * 4 + j % 4 for j in range(n_bits)],
+                      dtype=np.uint64)
+    out_bits = np.arange(n_bits, dtype=np.int64)
 
     def kernel(batches):
         cache: dict[str, int] = {}
@@ -352,18 +358,19 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 if not toks:
                     continue  # oracle: docs with no tokens emit no row
                 counter = Counter(toks)
-                vs = np.empty(len(counter), dtype=np.uint32)
+                vs = np.empty(len(counter), dtype=np.uint64)
                 ws = np.empty(len(counter), dtype=np.int64)
                 for n, (tok, cnt) in enumerate(counter.items()):
                     v = cache.get(tok)
                     if v is None:
                         if len(cache) > (1 << 20):
                             cache.clear()
-                        v = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                        v = int(hashlib.md5(tok.encode()).hexdigest()[:16],
+                                16)
                         cache[tok] = v
                     vs[n] = v
                     ws[n] = cnt
-                signs = (((vs[:, None] >> shifts[None, :]) & 1)
+                signs = (((vs[:, None] >> shifts[None, :]) & np.uint64(1))
                          .astype(np.int64) * 2 - 1)
                 votes = ws @ signs
                 sim = int(((votes > 0).astype(np.int64) << out_bits).sum())
@@ -374,33 +381,42 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
 
 
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The 32-bit tier of simhash_sketch (kept as the stable name the
+    driver query and oracle gate use)."""
+    return simhash_sketch(df, id_col, text_col, n_bits=32)
+
+
 # last persisted simhash table — same lifecycle as _last_band_keys
 _last_simhashes: DataFrame | None = None
 
 
 def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
                           max_hamming: int = 3,
-                          band_bits: int = 8) -> DataFrame:
-    """Near-dup pairs via SimHash banding: split the 32-bit hash into
-    32/band_bits contiguous bands; docs sharing ANY band value are
+                          band_bits: int = 8,
+                          n_bits: int = 32) -> DataFrame:
+    """Near-dup pairs via SimHash banding: split the n_bits hash into
+    n_bits/band_bits contiguous bands; docs sharing ANY band value are
     candidates; keep pairs with popcount(xor) ≤ max_hamming. Recall is
     EXACT for max_hamming ≤ n_bands − 1 (pigeonhole: ≤3 differing bits
     cannot touch all 4 default bands). Complements the MinHash/LSH
-    chain: cheaper sketch (one 32-bit word vs n_perms hashes), catches
+    chain: cheaper sketch (one machine word vs n_perms hashes), catches
     token-frequency-preserving edits that shingle-based LSH can miss.
 
-    The ONLY Python cost is the simhash32 kernel, which is persisted
-    and materialized ONCE before the self-join (the join's two scan
-    stages would otherwise each run the kernel — the LSH double-kernel
-    defect, VERDICT r1 #1). Banding/joining/hamming are native bit ops
-    (shiftright / bitwiseAND / bit_count), fully codegen'd.
+    The ONLY Python cost is the simhash_sketch kernel, which is
+    persisted and materialized ONCE before the self-join (the join's two
+    scan stages would otherwise each run the kernel — the LSH
+    double-kernel defect, VERDICT r1 #1). Banding/joining/hamming are
+    native bit ops (shiftright / bitwiseAND / bit_count), fully
+    codegen'd.
 
-    Scale note: band buckets number n_bands × 2^band_bits (1024 at the
-    defaults) and within-bucket pair work is quadratic, so 32-bit
-    simhash banding saturates around ~10^7 docs. The 100 TB shape is a
-    64-bit simhash with 4×16-bit bands (262k buckets) — same plan,
-    wider words; this operator keeps 32 bits because the oracle's
-    nibble-decode parity contract pins the sketch width."""
+    Scale: band buckets number n_bands × 2^band_bits and within-bucket
+    pair work is quadratic, so the defaults (32-bit, 4×8 → 1024
+    buckets) saturate around ~10^7 docs. The corpus-scale call is
+    n_bits=60, band_bits=15 — 4×32768 buckets, same plan, wider words
+    (oracle-gated as the `simhash_neardup_pairs_wide` driver query);
+    60 not 64 keeps the sketch positive in signed 64-bit integers in
+    every engine the oracle contract spans."""
     from pyspark.storagelevel import StorageLevel
 
     global _last_simhashes
@@ -409,9 +425,9 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
             _last_simhashes.unpersist(blocking=False)
         except Exception:
             pass  # session of the old handle may be gone
-    n_bands = 32 // band_bits
+    n_bands = n_bits // band_bits
     mask = (1 << band_bits) - 1
-    sims = simhash32(df, id_col, text_col) \
+    sims = simhash_sketch(df, id_col, text_col, n_bits=n_bits) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     _last_simhashes = sims
     sims.count()  # materialize ONCE before the join forks two readers

@@ -117,3 +117,25 @@ def test_simhash_neardup_pairs_exact_recall(spark):
                     want[(i, j)] = h
     assert got == want
     assert got[(0, 1)] == 0  # the exact twin pair is present
+
+
+def test_simhash_sketch_width_tiers_consistent(spark):
+    """Spec-bit j lands on output bit j at every width, so the 60-bit
+    sketch's LOW 32 bits equal the 32-bit sketch (both read the same
+    md5 nibbles), and the wide banding finds the exact twins the
+    narrow one finds."""
+    from advanced_text_extraction_spark.operators.dedup import (
+        simhash_neardup_pairs, simhash_sketch)
+    texts = ["dup text one two three", "dup text one two three",
+             "something else entirely now"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    s32 = {r["doc_id"]: r["simhash"] for r in
+           simhash_sketch(df, "doc_id", "text", 32).collect()}
+    s60 = {r["doc_id"]: r["simhash"] for r in
+           simhash_sketch(df, "doc_id", "text", 60).collect()}
+    assert all(s60[i] & 0xFFFFFFFF == s32[i] for i in s32)
+    wide = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+            simhash_neardup_pairs(df, "doc_id", "text",
+                                  n_bits=60, band_bits=15).collect()}
+    assert wide[(0, 1)] == 0
