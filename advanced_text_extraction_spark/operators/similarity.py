@@ -192,6 +192,47 @@ def seed_centroids(df: DataFrame, n_cells: int = 16,
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
+def train_centroids(df: DataFrame, n_cells: int = 16, n_iter: int = 5,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Lloyd's k-means over the embedding column — the "offline training
+    job" the IVF docstrings reference, as a real DataFrame loop:
+
+    per iteration: (1) ivf_assign — C dot products per row, codegen'd,
+    map-only; (2) per-cell mean via posexplode(vec) → groupBy(cell, dim)
+    — ONE partial-agg-friendly exchange carrying (cell, dim) keys (at
+    most n_cells × dim groups, uniform by construction); (3) collect the
+    n_cells × dim means to the driver (model state, O(KB)). Nothing
+    iterative lives executor-side, so no lineage growth / checkpoint
+    management is needed — each round is an independent job over the
+    source table. Empty cells keep their previous centroid (the standard
+    Lloyd's convention). Deterministic: seeded from seed_centroids and
+    every step is exact arithmetic + 6dp-rounded assignment.
+
+    Returned as plain lists — feed straight into ivf_assign/ivf_topk."""
+    cents = seed_centroids(df, n_cells, id_col, vec_col)
+    dim = len(cents[0]) if cents else 0
+    for _ in range(n_iter):
+        assigned = ivf_assign(df, cents, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col))
+                            .alias("dim", "x"))
+            .groupBy("cell", "dim").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty cells keep old centroid
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]),
+                               [0.0] * dim)[int(r["dim"])] = float(r["m"])
+        for c, vec in by_cell.items():
+            new[c] = vec
+        if new == cents:
+            break  # fixpoint
+        cents = new
+    return cents
+
+
 def _cell_scores(centroids: list[list[float]], vec_col: str):
     """array<struct<score, negcell>> of rounded cosine to each centroid —
     array_max over it is argmax by (score, then SMALLER cell id)."""

@@ -229,3 +229,48 @@ def test_path_functions_pathlib_parity(spark):
     methods = {r.p: r.m for r in out}
     assert methods["s3://bkt/k/doc.PDF"] == "pdf"
     assert methods["a/b/doc.TXT"] == "text"
+
+
+def test_train_centroids_improves_and_converges(spark):
+    """Lloyd's iterations: inertia (sum of 1-cos to the assigned
+    centroid) is non-increasing vs the raw seed, the result is
+    deterministic, and clearly-separated clusters get distinct cells."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from advanced_text_extraction_spark.operators import similarity as S
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):  # two well-separated direction clusters
+        base = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [base + 0.05 * rng.random() for _ in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def inertia(cents):
+        assigned = S.ivf_assign(df, cents)
+        total = 0.0
+        for r in assigned.collect():
+            c = cents[r["cell"]]
+            v = r["embedding"]
+            dot = sum(a * b for a, b in zip(v, c))
+            nv = math.sqrt(sum(a * a for a in v))
+            nc = math.sqrt(sum(a * a for a in c))
+            total += 1 - dot / (nv * nc + 1e-12)
+        return total
+
+    seed = S.seed_centroids(df, n_cells=4)
+    trained = S.train_centroids(df, n_cells=4, n_iter=5)
+    assert inertia(trained) <= inertia(seed) + 1e-9
+    assert trained == S.train_centroids(df, n_cells=4, n_iter=5)
+    # the two sign-clusters resolve to different cells
+    cells = {r["vec_id"]: r["cell"]
+             for r in S.ivf_assign(df, trained).collect()}
+    even = {cells[i] for i in range(0, 60, 2)}
+    odd = {cells[i] for i in range(1, 60, 2)}
+    assert even.isdisjoint(odd)
+    # trained centroids drop into the probe path unchanged
+    got = S.ivf_topk(df, [1.0] * 8, trained, nprobe=1, k=3).collect()
+    assert len(got) == 3 and all(r["vec_id"] % 2 == 0 for r in got)
