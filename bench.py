@@ -607,13 +607,16 @@ ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
 MULT_SCALING = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_MULT", "1200"))
 
 
-def run_skew_probe(mult: int = 400) -> dict:
+def run_skew_probe(mult: int = 400, attempts: int = 4) -> dict:
     """BASELINE.md skew-resilience evidence: identical job, pinned
     local[16], on a uniform vs a skewed (one conv ≈ 20% of turns) input
-    of the same size — interleaved best-of-2 each, in ONE session so
-    host-steal conditions are shared. The salted repartition is what
-    keeps the two numbers equal; without it the skewed conversation
-    would pin one task."""
+    of the same size — interleaved best-of-`attempts` each, in ONE
+    session. Interleaving shares steal conditions only statistically:
+    a burst can straddle one label's runs and not the other's (observed:
+    2× wall spread within a probe), so the per-label MINIMUM over ≥4
+    attempts is the estimator, as in the scaling methodology. The salted
+    repartition is what keeps the two numbers equal; without it the
+    skewed conversation would pin one task."""
     with tempfile.TemporaryDirectory(prefix="ate_skew_",
                                      dir=SCALING_TMP) as td:
         uniform = os.path.join(td, "uniform")
@@ -622,7 +625,7 @@ def run_skew_probe(mult: int = 400) -> dict:
         n_s = _synth_input(skewed, mult, skew=True)
         print(f"inputs: uniform {n_u}, skewed {n_s} turns", file=sys.stderr)
         best = {"uniform": float("inf"), "skewed": float("inf")}
-        for attempt in range(2):
+        for attempt in range(attempts):
             for label, inp in (("uniform", uniform), ("skewed", skewed)):
                 out = os.path.join(td, f"out_{label}_{attempt}")
                 stats = _run_job(inp, out, "local[16]", 16)
@@ -669,15 +672,20 @@ def _skew_md(res: dict) -> list[str]:
         "",
         f"Identical pinned local[16] job on {res['rows']} uniform turns vs",
         "the same corpus with ~20% of turns routed into ONE conversation",
-        "(BASELINE.md skew fixture shape); interleaved best-of-2 in one",
-        "session so host-steal conditions are shared.",
+        "(BASELINE.md skew fixture shape); interleaved attempts in one",
+        "session, per-label MINIMUM (bursty host steal can straddle one",
+        "label's runs and not the other's — observed 2x wall spread — so",
+        "the minimum is the estimator, as in the scaling methodology).",
         "",
         f"- uniform: {res['uniform_sec']} s; skewed: {res['skewed_sec']} s",
         f"- throughput ratio skewed/uniform = **{res['value']}** (computed",
         "  wall_uniform/wall_skewed — how much throughput the skewed input",
         "  keeps; 1.0 = skew fully neutralized, lower = skew hurt; the",
         "  salted exchange splits the hot conversation across salt×bucket",
-        "  tasks, order restored after)",
+        "  tasks, order restored after)"
+        + (" — a value above 1.0 is minimum-estimator noise (two noisy"
+           " minima compared), NOT the skewed input being faster: read it"
+           " as skew fully neutralized" if res["value"] > 1.0 else ""),
         "",
     ]
 
