@@ -115,17 +115,28 @@ def synth_transcripts(spark: SparkSession, sf_dir: str,
     )
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: synthesize transcripts from sf0.001 documents, run the full
-    extraction dispatch, restore stable turn order (SURVEY §4.3 plan)."""
+def _flagship_extracted(spark: SparkSession, sf_dir: str,
+                        include_pdf: bool = True) -> DataFrame:
+    """ONE definition of the flagship plan core (bucket prep → salted
+    repartition → folded-dedupe extraction → stable order restore) —
+    entry() and the e2e queries project different columns off the SAME
+    plan, so a plan change can never silently diverge between them."""
     from advanced_text_extraction_spark.plans.pipeline import (
         prepare,
         salted_repartition,
     )
 
-    tr = prepare(synth_transcripts(spark, SF0001), n_buckets=8)
-    out = extract(salted_repartition(tr, n_buckets=8, salt=2))
-    return W.restore_order(out).select(
+    tr = prepare(synth_transcripts(spark, sf_dir, include_pdf=include_pdf),
+                 n_buckets=8)
+    out = extract(salted_repartition(tr, n_buckets=8, salt=2),
+                  dedupe_keys=("conv_id", "turn_idx"))
+    return W.restore_order(out)
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: synthesize transcripts from sf0.001 documents, run the full
+    extraction dispatch, restore stable turn order (SURVEY §4.3 plan)."""
+    return _flagship_extracted(spark, SF0001).select(
         "conv_id", "turn_idx", "role", "content_type", "extracted_text",
         "spans", "confidence", "language", "status",
     )
@@ -382,21 +393,10 @@ def _synth_boiler(docs: DataFrame) -> DataFrame:
 
 
 def _e2e_pipeline(s: SparkSession, d: str, include_pdf: bool) -> DataFrame:
-    """ONE definition of the flagship e2e plan (bucket prep → salted
-    repartition → folded-dedupe extraction → stable order restore) —
-    the oracle-gated and PDF-inclusive variants differ only in the synth
-    payload mix, so a plan change can never silently diverge between
-    them."""
-    from advanced_text_extraction_spark.plans.pipeline import (
-        prepare,
-        salted_repartition,
-    )
-
-    tr = prepare(synth_transcripts(s, d, include_pdf=include_pdf),
-                 n_buckets=8)
-    out = extract(salted_repartition(tr, n_buckets=8, salt=2),
-                  dedupe_keys=("conv_id", "turn_idx"))
-    return W.restore_order(out).select(
+    """The flagship plan core with the oracle-hashable projection — the
+    oracle-gated and PDF-inclusive variants differ only in the synth
+    payload mix (see _flagship_extracted for the shared plan)."""
+    return _flagship_extracted(s, d, include_pdf=include_pdf).select(
         "conv_id", "turn_idx", "content_type", "extracted_text",
         "confidence", "status")
 
@@ -521,16 +521,24 @@ def _normalize_text(s: SparkSession, d: str) -> DataFrame:
 # nothing (matches functions/text.py::word_count)
 _WORDS_EXPR = "len(regexp_extract_all(text, '\\S+'))"
 
-# SPEC.md §2 plain-text normalization over documents.text (CRLF fold,
-# zero-width strip, space/NBSP collapse, newline trim, blank-line cap)
-_NORM_SQL = """trim(regexp_replace(regexp_replace(regexp_replace(
+# SPEC.md §2 plain-text normalization over documents.text. Step ORDER
+# matches kernels/normalize.py::normalize_plain exactly: zero-width strip
+# BEFORE the CRLF fold (CR + ZWSP + LF must fold to ONE newline), and the
+# final boundary strip covers Python str.strip()'s whitespace set (trim()
+# strips only spaces — a trailing '\n' would survive it and break twin-ness)
+_STRIP_CLASS = (r"[\s\x{0b}\x{1c}-\x{1f}\x{85}\x{1680}\x{2000}-\x{200a}"
+                r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+")
+_NORM_SQL = f"""regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
                     regexp_replace(regexp_replace(
                         nfc_normalize(text),
+                        '[\\x{{200b}}\\x{{200c}}\\x{{200d}}\\x{{feff}}]',
+                        '', 'g'),
                         '\\r\\n|\\r', chr(10), 'g'),
-                        '[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]', '', 'g'),
-                    '[ \\t\\x{00a0}]+', ' ', 'g'),
+                    '[ \\t\\x{{00a0}}]+', ' ', 'g'),
                     ' *\\n *', chr(10), 'g'),
-                    '\\n{3,}', chr(10) || chr(10), 'g'))"""
+                    '\\n{{3,}}', chr(10) || chr(10), 'g'),
+                '^{_STRIP_CLASS}|{_STRIP_CLASS}$', '', 'g')"""
 
 # HTML main-content expectation: DOM whitespace rules collapse ALL
 # whitespace runs to single spaces
@@ -908,8 +916,13 @@ def oracle_sql() -> dict[str, str]:
     # scores rounded to 6dp in BOTH engines so the argmax is bit-stable
     _IVF_BASE = """
         WITH cents AS (
-            SELECT vec_id AS cell, embedding AS cvec
-            FROM embeddings WHERE vec_id < 16),
+            -- POSITIONAL cell numbering over the first 16 vectors by id,
+            -- exactly seed_centroids' list order — `cell = vec_id` only
+            -- holds for contiguous 0-based ids, an assumption no code
+            -- guarantees
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   embedding AS cvec
+            FROM embeddings ORDER BY vec_id LIMIT 16),
         cv AS (SELECT cell, CAST(unnest(cvec) AS DOUBLE) AS c,
                       generate_subscripts(cvec, 1) AS i FROM cents),
         cn AS (SELECT cell, sqrt(sum(c * c)) AS cnorm FROM cv GROUP BY cell),
@@ -1191,7 +1204,15 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(regexp_matches(lower(text), '\\b{w}\\b') AS INT)"
         for w in GOPHER_STOPWORDS)
     o["gopher_quality_flags"] = f"""
-        WITH g AS (
+        WITH folded AS (
+            -- fold line terminators to LF first, like the operator:
+            -- Java and RE2 disagree on what (?m) anchors to otherwise
+            SELECT doc_id,
+                   regexp_replace(text,
+                       '\\r\\n|[\\x{{0d}}\\x{{2028}}\\x{{2029}}]',
+                       chr(10), 'g') AS text
+            FROM documents),
+        g AS (
             SELECT doc_id,
                    {nw} AS n_words,
                    round(length(regexp_replace(text, '\\s', '', 'g'))
@@ -1205,7 +1226,7 @@ def oracle_sql() -> dict[str, str]:
                    round(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))
                          / ({nw} + 1e-9), 6) AS alpha_word_frac,
                    CAST({stop_sum} AS BIGINT) AS stop_hits
-            FROM documents),
+            FROM folded),
         r AS (
             SELECT doc_id, n_words, mean_word_len, symbol_ratio,
                    round(n_bul / (n_nonblank + 1e-9), 6) AS bullet_frac,

@@ -31,7 +31,9 @@ from ..functions.text import word_count
 from .dedup import word_shingles
 
 # Java regex and RE2 (the DuckDB oracle) agree on every construct used
-# here: literal classes, \b, \d, \S, bounded quantifiers, (?m). No
+# here: literal classes, \b, \d, \S, bounded quantifiers — and (?m) AFTER
+# line terminators are folded to LF (the engines disagree on whether ^/$
+# anchor at CRLF/lone-CR/U+2028; gopher_quality_flags folds first). No
 # lookbehind anywhere — RE2 does not support it.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
@@ -100,8 +102,13 @@ def gopher_quality_flags(df: DataFrame, id_col: str,
     All signals are single-pass regexp_count / length expressions — fully
     codegen'd, no explode. Each ratio is rounded to 6dp BEFORE its flag
     comparison so Spark and the SQL oracle take the same branch at
-    threshold boundaries."""
-    c = F.coalesce(F.col(text_col), F.lit(""))
+    threshold boundaries. Line terminators are folded to LF FIRST:
+    Java regex and RE2 disagree on what (?m)'s ^/$ anchor to (Java: also
+    before \\r of CRLF and at lone \\r / U+2028/2029; RE2: '\\n' only),
+    so CRLF corpora would otherwise count ellipsis/bullet lines
+    differently per engine."""
+    c = F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                         "\r\n|[\r\u2028\u2029]", "\n")
     n_words = word_count(c)
     nonspace = F.length(F.regexp_replace(c, r"\s", ""))
     mean_wl = F.round(nonspace / (n_words + 1e-9), 6)

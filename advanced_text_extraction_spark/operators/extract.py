@@ -47,7 +47,9 @@ ocr_fallback = None
 # kernel re-arms (or disarms) whenever its engine setting differs from
 # what this process last armed, instead of a sticky install-once guard
 # that would let job A's engine leak into job B.
-_armed_engine: str | None = ""
+# (engine, preprocess, confidence_threshold) tuple, None (disarmed), or
+# "" = never armed by a kernel in this process
+_armed_engine: tuple | None | str = ""
 
 SPAN_TYPE = T.ArrayType(
     T.StructType([
@@ -85,12 +87,14 @@ def _span_dicts(spans) -> list[dict]:
     ]
 
 
-def extract_one(payload: str | None) -> dict:
-    """Engine extraction of ONE payload (SPEC.md §1–§6 dispatch)."""
+def extract_one(payload: str | None,
+                max_chars: int = MAX_PAYLOAD_CHARS) -> dict:
+    """Engine extraction of ONE payload (SPEC.md §1–§6 dispatch).
+    ``max_chars`` is the config extract.max_payload_chars cap."""
     raw = payload or ""
-    truncated = len(raw) > MAX_PAYLOAD_CHARS
+    truncated = len(raw) > max_chars
     if truncated:
-        raw = raw[:MAX_PAYLOAD_CHARS]
+        raw = raw[:max_chars]
     meta = {"raw_len": str(len(raw))}
     if truncated:
         meta["truncated"] = "true"
@@ -189,7 +193,10 @@ def _norm_key(key: tuple) -> tuple:
 
 def _make_kernel(dedupe_keys: tuple[str, ...] | None,
                  stats_acc=None, bucket_col: str = "part_bucket",
-                 ocr_fallback_engine: str | None = None):
+                 ocr_fallback_engine: str | None = None,
+                 ocr_preprocess: bool = True,
+                 ocr_confidence_threshold: float = 0.0,
+                 max_payload_chars: int = MAX_PAYLOAD_CHARS):
     """Build the mapInPandas kernel, optionally deduplicating on
     ``dedupe_keys`` WITHIN the partition (first copy wins).
 
@@ -229,13 +236,19 @@ def _make_kernel(dedupe_keys: tuple[str, ...] | None,
         # real state.
         from advanced_text_extraction_spark.operators import (
             extract as _self)
-        if _self._armed_engine != ocr_fallback_engine:
+        armed_key = (None if ocr_fallback_engine is None else
+                     (ocr_fallback_engine, ocr_preprocess,
+                      ocr_confidence_threshold))
+        if _self._armed_engine != armed_key:
             if ocr_fallback_engine is None:
                 _self.ocr_fallback = None
+                _self._armed_engine = None
             else:
                 from .ocr import install_pdf_ocr_fallback
-                install_pdf_ocr_fallback(engine=ocr_fallback_engine)
-            _self._armed_engine = ocr_fallback_engine
+                install_pdf_ocr_fallback(
+                    engine=ocr_fallback_engine,
+                    preprocess=ocr_preprocess,
+                    confidence_threshold=ocr_confidence_threshold)
         seen: set | None = set() if dedupe_keys else None
         for pdf in batches:
             if stats_acc is not None and bucket_col in pdf.columns:
@@ -266,7 +279,7 @@ def _make_kernel(dedupe_keys: tuple[str, ...] | None,
             clock = time.perf_counter_ns
             for payload in pdf["text"]:
                 t0 = clock()
-                recs.append(extract_one(payload))
+                recs.append(extract_one(payload, max_payload_chars))
                 row_us.append((clock() - t0) // 1000)
             out = pdf.copy()
             for col in ("content_type", "extracted_text", "spans",
@@ -290,7 +303,10 @@ def _make_kernel(dedupe_keys: tuple[str, ...] | None,
 def extract(df: DataFrame,
             dedupe_keys: tuple[str, ...] | None = None,
             stats_acc=None, bucket_col: str = "part_bucket",
-            ocr_fallback_engine: str | None = None) -> DataFrame:
+            ocr_fallback_engine: str | None = None,
+            ocr_preprocess: bool = True,
+            ocr_confidence_threshold: float = 0.0,
+            max_payload_chars: int = MAX_PAYLOAD_CHARS) -> DataFrame:
     """Apply the extraction dispatch over a transcripts DataFrame.
 
     The payload column must be named ``text``. All input columns are
@@ -302,9 +318,15 @@ def extract(df: DataFrame,
     lineage stats as a side output of the extraction pass.
     ``ocr_fallback_engine`` (e.g. ``'auto'``/``'template'``) arms the P3
     scanned-PDF OCR fallback inside each Python worker (SPEC §4/§4c) —
-    the worker-safe form of ``operators.ocr.install_pdf_ocr_fallback``."""
+    the worker-safe form of ``operators.ocr.install_pdf_ocr_fallback``;
+    ``ocr_preprocess`` and ``ocr_confidence_threshold`` are the config
+    ocr.preprocess / extract.confidence_threshold knobs (a below-threshold
+    OCR result is rejected and the short text layer kept);
+    ``max_payload_chars`` is the config extract.max_payload_chars cap."""
     return df.mapInPandas(_make_kernel(dedupe_keys, stats_acc, bucket_col,
-                                       ocr_fallback_engine),
+                                       ocr_fallback_engine, ocr_preprocess,
+                                       ocr_confidence_threshold,
+                                       max_payload_chars),
                           schema=output_schema(df.schema))
 
 

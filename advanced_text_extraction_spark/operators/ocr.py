@@ -121,19 +121,29 @@ def ocr_pdf_bytes(pdf_bytes: bytes, engine: str = "auto",
 
 
 def install_pdf_ocr_fallback(engine: str = "auto",
-                             preprocess: bool = True) -> None:
+                             preprocess: bool = True,
+                             confidence_threshold: float = 0.0) -> None:
     """Arm the extraction operator's P3 hook: PDFs whose text layer fails
     the >50-char gate get their page images OCR'd (reference auto method
-    :501-507). Idempotent per engine; the extraction kernel calls this in
-    each (possibly REUSED) Spark Python worker whenever the process's
-    armed engine differs from the job's setting, so per-job arming stays
-    deterministic across worker reuse."""
+    :501-507). Idempotent per setting tuple; the extraction kernel calls
+    this in each (possibly REUSED) Spark Python worker whenever the
+    process's armed settings differ from the job's, so per-job arming
+    stays deterministic across worker reuse.
+
+    ``confidence_threshold`` is the reference ocr.confidence_threshold
+    gate (text_extractor.py:784): an OCR result below it is REJECTED —
+    the caller keeps the short-but-valid text layer and records the
+    rejection in metadata['ocr_error']."""
     def _fallback(pdf_bytes: bytes) -> tuple[str, float]:
         text, conf, _pages = ocr_pdf_bytes(pdf_bytes, engine=engine,
                                            preprocess=preprocess)
+        if conf < confidence_threshold:
+            raise ValueError(
+                f"ocr confidence {conf:.3f} below threshold "
+                f"{confidence_threshold}")
         return text, conf
     extract_mod.ocr_fallback = _fallback
-    extract_mod._armed_engine = engine
+    extract_mod._armed_engine = (engine, preprocess, confidence_threshold)
 
 
 PDF_PAGE_OCR_SCHEMA = T.StructType([

@@ -91,6 +91,9 @@ def run_extract_job(
     resume: bool = True,
     only_buckets: list[int] | None = None,
     ocr_fallback_engine: str | None = "auto",
+    ocr_preprocess: bool = True,
+    ocr_confidence_threshold: float = 0.0,
+    max_payload_chars: int | None = None,
 ) -> RunStats:
     """End-to-end extraction with lineage + idempotent resume.
 
@@ -122,9 +125,14 @@ def run_extract_job(
     # `extracted` schema) — carrying `text` through the write would
     # re-store the whole input corpus: double the parquet encode CPU and
     # write volume for a column every consumer already has upstream
+    from ..operators.extract import MAX_PAYLOAD_CHARS
     extracted = extract(df, dedupe_keys=("conv_id", "turn_idx"),
                         stats_acc=stats_acc,
-                        ocr_fallback_engine=ocr_fallback_engine) \
+                        ocr_fallback_engine=ocr_fallback_engine,
+                        ocr_preprocess=ocr_preprocess,
+                        ocr_confidence_threshold=ocr_confidence_threshold,
+                        max_payload_chars=(max_payload_chars
+                                           or MAX_PAYLOAD_CHARS)) \
         .drop("text") \
         .sortWithinPartitions("part_bucket", "conv_id", "turn_idx")
     catalog.write_extracted(extracted, out_root)

@@ -150,7 +150,8 @@ def run_headline() -> dict:
         tr = entrymod.synth_transcripts(spark, SF_DIR, mult=MULT).cache()
         n_rows = tr.count()
         el = timed(lambda: _materialize(
-            restore_order(extract(salted_repartition(prepare(tr, 32), 32, 4)))))
+            restore_order(extract(salted_repartition(prepare(tr, 32), 32, 4),
+                                  dedupe_keys=("conv_id", "turn_idx")))))
         timings["extract_e2e"] = el
         tps = round(n_rows / el, 1)
         print(f"  extract_e2e: {el:.3f}s ({n_rows} turns, {tps} turns/s)",

@@ -66,10 +66,19 @@ def main(argv: list[str] | None = None) -> int:
     shuffle = (args.shuffle_partitions if args.shuffle_partitions is not None
                else job.get("shuffle_partitions"))
     resume = job.get("resume", True) and not args.no_resume
+    ocr_cfg = cfg.get("ocr", {})
+    ocr_d = DEFAULT_CONFIG["ocr"]
+    ext_cfg = cfg.get("extract", {})
+    ext_d = DEFAULT_CONFIG["extract"]
     ocr_engine = (args.ocr_fallback if args.ocr_fallback is not None
-                  else cfg.get("ocr", {}).get("fallback_engine", "auto"))
+                  else ocr_cfg.get("fallback_engine", "auto"))
     if ocr_engine in ("none", ""):
         ocr_engine = None
+    ocr_preprocess = bool(ocr_cfg.get("preprocess", ocr_d["preprocess"]))
+    conf_threshold = float(ext_cfg.get(
+        "confidence_threshold", ext_d["confidence_threshold"]))
+    max_payload = int(ext_cfg.get(
+        "max_payload_chars", ext_d["max_payload_chars"]))
 
     spark = build_session(app_name="ate-extract", master=args.master,
                           shuffle_partitions=shuffle,
@@ -86,6 +95,9 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=n_buckets, salt=salt,
             resume=resume,
             ocr_fallback_engine=ocr_engine,
+            ocr_preprocess=ocr_preprocess,
+            ocr_confidence_threshold=conf_threshold,
+            max_payload_chars=max_payload,
         )
         print(json.dumps({
             "run_id": stats.run_id,

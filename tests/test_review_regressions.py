@@ -563,3 +563,72 @@ def test_gen_transcripts_single_conversation():
     pdf = gen_transcripts(n_turns=30, n_convs=1, seed=3)
     assert len(pdf) >= 30
     assert (pdf["conv_id"] == "conv-0").sum() >= 30
+
+
+# ------------------------- config keys wired end-to-end (review round 3)
+
+def test_config_extract_and_ocr_keys_are_wired(tmp_path, monkeypatch):
+    """extract.confidence_threshold / extract.max_payload_chars /
+    ocr.preprocess were defined in DEFAULT_CONFIG but silently ignored
+    by the job CLI — user config must actually reach run_extract_job."""
+    import advanced_text_extraction_spark.plans.pipeline as pipeline
+    import advanced_text_extraction_spark.sources.session as session
+    import scripts.run_extract as run_extract
+
+    calls = {}
+
+    def fake_job(spark, df, output, **kw):
+        calls.update(kw)
+        from types import SimpleNamespace
+        return SimpleNamespace(run_id="t", input_rows=0, buckets_done=0,
+                               buckets_skipped=0, wall_sec=0.0)
+
+    class _Read:
+        def parquet(self, p):
+            return "df"
+
+    class _Spark:
+        read = _Read()
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(pipeline, "run_extract_job", fake_job)
+    monkeypatch.setattr(session, "build_session", lambda **kw: _Spark())
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "extract": {"confidence_threshold": 0.9,
+                    "max_payload_chars": 1234},
+        "ocr": {"preprocess": False, "fallback_engine": "template"},
+    }))
+    rc = run_extract.main(["--input", str(tmp_path / "in"),
+                           "--config", str(cfg)])
+    assert rc == 0
+    assert calls["ocr_fallback_engine"] == "template"
+    assert calls["ocr_preprocess"] is False
+    assert calls["ocr_confidence_threshold"] == 0.9
+    assert calls["max_payload_chars"] == 1234
+
+
+def test_extract_one_max_chars_and_ocr_threshold_rejection():
+    from advanced_text_extraction_spark.operators import extract as em
+    from advanced_text_extraction_spark.operators.ocr import (
+        install_pdf_ocr_fallback)
+
+    row = em.extract_one("word " * 100, max_chars=10)
+    assert row["metadata"]["truncated"] == "true"
+    assert row["metadata"]["raw_len"] == "10"
+
+    # an impossible threshold rejects every OCR result: the short-but-
+    # valid text layer is kept and the rejection lands in metadata
+    short_pdf = build_pdf([["tiny"]], random.Random(3), flate=False)
+    payload = base64.b64encode(short_pdf).decode()
+    prev_fb, prev_armed = em.ocr_fallback, em._armed_engine
+    install_pdf_ocr_fallback("template", confidence_threshold=2.0)
+    try:
+        row = em.extract_one(payload)
+    finally:
+        em.ocr_fallback, em._armed_engine = prev_fb, prev_armed
+    assert row["status"] == "ok"
+    assert "tiny" in row["extracted_text"]
+    assert "below threshold" in row["metadata"]["ocr_error"]
