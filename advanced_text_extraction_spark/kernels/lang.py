@@ -1,19 +1,38 @@
-"""Deterministic stopword-profile language identification (SPEC.md §5).
+"""Deterministic language identification (SPEC.md §5): stopword-profile
+marker sets for Latin-script languages + Unicode script-range counts for
+non-Latin scripts.
 
 Replaces the reference's langdetect calls
 (/root/reference/text_extractor.py:480-488,751-759,1076-1084) — langdetect
 is seed-unstable, so the engine and the test oracle share this SPEC (not
 this code) to make the equality gate meaningful. ``'unknown'`` fallback
-semantics preserved from text_extractor.py:1076-1084.
+semantics preserved from text_extractor.py:1076-1084. Breadth (r2 VERDICT
+gap #2) follows langdetect's coverage of the top web languages: 12
+Latin-script profiles + 9 script-detected languages.
+
+Scoring is ONE uniform rule so every tier (this kernel, the codegen'd SQL
+twin in operators/textstats.py, the DuckDB oracle) can reproduce it:
+each language has a marker count — stopword-token hits for Latin-script
+languages, characters inside the script's Unicode ranges for script
+languages (Japanese = kana count, plus the Han count iff kana ≥ 2, since
+Japanese prose is majority kanji but Chinese prose carries no kana) —
+and the result is the argmax if the max is ≥ 2, ties broken
+alphabetically, else 'unknown'.
 """
 
 from __future__ import annotations
 
 import re
 
-_TOKEN_RE = re.compile(r"[a-zA-ZÀ-ɏ]+")
+# Ḁ-ỿ (U+1E00-U+1EFF, Latin Extended Additional) covers the Vietnamese
+# tone-marked vowels that À-ɏ misses — "được" would otherwise split.
+_TOKEN_RE = re.compile(r"[a-zA-ZÀ-ɏḀ-ỿ]+")
 
-# Disjoint marker sets — SPEC.md §5 (no word in two languages).
+# Disjoint marker sets — SPEC.md §5 (no word in two languages). Words are
+# chosen to START and END with an ASCII letter: the SQL tier counts
+# \b-bounded hits and \b is ASCII-word-based in both Java regex and RE2,
+# so an accent-final word (più, não) would silently never match there.
+# Interior accents (für, più→NO, también) are fine.
 STOPWORDS: dict[str, frozenset[str]] = {
     "en": frozenset(
         "the and is are was were this that with for have has not you "
@@ -31,21 +50,83 @@ STOPWORDS: dict[str, frozenset[str]] = {
         "der die das und ist nicht ein eine mit auf sich auch werden "
         "wird bei nach aber aus durch dem".split()
     ),
+    "it": frozenset(
+        "di che per sono della nel alla gli anche dopo questo quando "
+        "essere stato ogni".split()
+    ),
+    "pt": frozenset(
+        "um uma foi dos ela ele seu sua pelo isso quem depois apenas "
+        "ainda onde".split()
+    ),
+    "nl": frozenset(
+        "het van een voor niet zijn hebben wordt naar ook deze onze "
+        "hun maar nog".split()
+    ),
+    "pl": frozenset(
+        "nie jest jak przez tylko jego bardzo jako oraz ale przy gdy "
+        "czy lub także".split()
+    ),
+    "sv": frozenset(
+        "och att det som av den inte har ett om man efter för eller "
+        "mycket".split()
+    ),
+    "tr": frozenset(
+        "bir ve bu için ile olarak daha sonra kadar gibi ancak olan "
+        "her ama değil".split()
+    ),
+    "id": frozenset(
+        "yang dan dengan untuk dari ini itu tidak akan pada juga "
+        "adalah bisa sudah telah".split()
+    ),
+    "vi": frozenset(
+        "của không người trong cũng những việc một này khi nhưng với "
+        "làm năm theo".split()
+    ),
+}
+
+# Script-range marker languages: count of characters inside the ranges.
+# Japanese is kana-only here; detect adds the Han count when kana ≥ 2
+# (see module docstring). Ranges are the core blocks only — deliberately
+# narrow so a stray typographic character can't mislabel a document.
+SCRIPTS: dict[str, tuple[tuple[int, int], ...]] = {
+    "ar": ((0x0600, 0x06FF),),                    # Arabic
+    "el": ((0x0370, 0x03FF),),                    # Greek
+    "he": ((0x0590, 0x05FF),),                    # Hebrew
+    "hi": ((0x0900, 0x097F),),                    # Devanagari
+    "ja": ((0x3040, 0x30FF),),                    # Hiragana + Katakana
+    "ko": ((0x1100, 0x11FF), (0xAC00, 0xD7AF)),   # Hangul jamo + syllables
+    "ru": ((0x0400, 0x04FF),),                    # Cyrillic
+    "th": ((0x0E00, 0x0E7F),),                    # Thai
+    "zh": ((0x4E00, 0x9FFF),),                    # CJK Unified (Han)
+}
+
+# precompiled per-script character classes — C-speed counting; this runs
+# per document inside the extraction kernel's hot path
+_SCRIPT_RES: dict[str, re.Pattern] = {
+    lang: re.compile(
+        "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in ranges) + "]")
+    for lang, ranges in SCRIPTS.items()
 }
 
 _MIN_HITS = 2
 
 
 def detect_language(text: str) -> str:
-    """argmax of marker hits, ties alphabetical, <2 hits → 'unknown'."""
+    """argmax of marker counts (stopword hits for Latin profiles, script
+    chars for script profiles, Japanese = kana + Han-iff-kana≥2), ties
+    alphabetical, max < 2 → 'unknown'."""
     if not text:
         return "unknown"
+    scores: dict[str, int] = {
+        lang: len(rx.findall(text)) for lang, rx in _SCRIPT_RES.items()
+    }
+    if scores["ja"] >= _MIN_HITS:
+        scores["ja"] += scores["zh"]
     tokens = _TOKEN_RE.findall(text.lower())
-    if not tokens:
-        return "unknown"
+    for lang in STOPWORDS:
+        scores[lang] = sum(1 for tok in tokens if tok in STOPWORDS[lang])
     best_lang, best_hits = "unknown", 0
-    for lang in sorted(STOPWORDS):
-        hits = sum(1 for tok in tokens if tok in STOPWORDS[lang])
-        if hits > best_hits:
-            best_lang, best_hits = lang, hits
+    for lang in sorted(scores):
+        if scores[lang] > best_hits:
+            best_lang, best_hits = lang, scores[lang]
     return best_lang if best_hits >= _MIN_HITS else "unknown"

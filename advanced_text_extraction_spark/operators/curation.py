@@ -67,7 +67,12 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Map-only: each document's arrays never leave its row, so this runs at
     scan speed on the full corpus — no explode, no shuffle."""
-    c = F.coalesce(F.col(text_col), F.lit(""))
+    # fold line terminators to LF first (like gopher_quality_flags): a
+    # CRLF corpus would otherwise never contain a literal "\n\n", so
+    # n_paras would read 1 and dup_para_frac 0 for every document — the
+    # duplicate-paragraph signal silently dead for such input
+    c = F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                         "\r\n|[\r\u2028\u2029]", "\n")
     lines = _nonblank(F.split(c, "\n", -1))
     paras = _nonblank(F.split(c, "\n\n", -1))
     dlines = F.array_distinct(lines)
@@ -237,7 +242,10 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     two HASH aggregates — groupBy(hash, id).agg(min(idx)) then
     groupBy(hash).agg(min(id), min_by(idx, id)) — trading the sort for a
     second slim exchange."""
-    c = F.coalesce(F.col(text_col), F.lit(""))
+    # same LF fold as repetition_stats: paragraph boundaries in a CRLF
+    # corpus are "\r\n\r\n", which a literal "\n\n" split never sees
+    c = F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                         "\r\n|[\r\u2028\u2029]", "\n")
     # keep only paragraphs with a \S char: an odd run of 3+ newlines (or
     # CRLF blank spans) otherwise emits a whitespace-only "paragraph"
     # whose shared hash accumulates a huge phantom n_copies corpus-wide

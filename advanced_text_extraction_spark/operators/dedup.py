@@ -214,7 +214,8 @@ _last_band_keys: DataFrame | None = None
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n_perms: int = 12, rows_per_band: int = 3) -> DataFrame:
+                        n_perms: int = 12, rows_per_band: int = 3,
+                        band_keys: DataFrame | None = None) -> DataFrame:
     """LSH near-dup candidates: docs sharing any band key. The bucket
     self-join is the ONLY shuffle in the whole minhash→LSH chain; at
     corpus scale buckets are tiny, so the shuffle is the only O(n) cost.
@@ -230,28 +231,33 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     true 100 TB scale the equivalent is writing band keys to a durable
     intermediate table and self-joining the re-read.
 
-    The previous call's cached band-keys table is unpersisted on
-    re-entry (blocks for the RETURNED plan must outlive this function,
-    so eager unpersist isn't possible) — repeated calls in one session
-    then pin at most ONE band-keys table, not an unbounded accumulation
-    of block-manager entries. CONCURRENCY: if a second call races a
-    still-executing first join, the first's evicted blocks are
-    recomputed from lineage (Spark's cache-miss semantics) — correct
-    results, but the double-kernel cost returns for that job; pipelines
-    needing concurrent LSH passes should write band keys to a durable
-    intermediate table instead (the 100 TB deployment shape below)."""
+    LIFECYCLE: pass ``band_keys`` (a persisted + materialized table from
+    ``lsh_band_keys``) to OWN the cache lifecycle — this function then
+    touches no global state and the caller unpersists when every plan
+    built on it is done; that is the shape for sessions holding several
+    concurrent LSH plans. Without it, a module-level latest-wins slot
+    unpersists the PREVIOUS default-path call's table on re-entry
+    (blocks for the returned plan must outlive this function, so eager
+    unpersist isn't possible) — repeated calls then pin at most ONE
+    band-keys table, at the cost that building plan A, then plan B,
+    then materializing A re-runs A's kernel per join branch. Pipelines
+    needing many concurrent LSH passes should write band keys to a
+    durable intermediate table instead (the 100 TB deployment shape)."""
     from pyspark.storagelevel import StorageLevel
 
-    global _last_band_keys
-    if _last_band_keys is not None:
-        try:
-            _last_band_keys.unpersist(blocking=False)
-        except Exception:
-            pass  # session of the old handle may be gone
-    keys = lsh_band_keys(df, id_col, text_col, n_perms, rows_per_band) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    _last_band_keys = keys
-    keys.count()  # materialize ONCE before the join forks two readers
+    if band_keys is not None:
+        keys = band_keys  # caller-owned persisted table; no bookkeeping
+    else:
+        global _last_band_keys
+        if _last_band_keys is not None:
+            try:
+                _last_band_keys.unpersist(blocking=False)
+            except Exception:
+                pass  # session of the old handle may be gone
+        keys = lsh_band_keys(df, id_col, text_col, n_perms, rows_per_band) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        _last_band_keys = keys
+        keys.count()  # materialize ONCE before the join forks two readers
     a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -394,7 +400,8 @@ _last_simhashes: DataFrame | None = None
 def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
                           max_hamming: int = 3,
                           band_bits: int = 8,
-                          n_bits: int = 32) -> DataFrame:
+                          n_bits: int = 32,
+                          sketch: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs via SimHash banding: split the n_bits hash into
     n_bits/band_bits contiguous bands; docs sharing ANY band value are
     candidates; keep pairs with popcount(xor) ≤ max_hamming. Recall is
@@ -416,21 +423,32 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
     n_bits=60, band_bits=15 — 4×32768 buckets, same plan, wider words
     (oracle-gated as the `simhash_neardup_pairs_wide` driver query);
     60 not 64 keeps the sketch positive in signed 64-bit integers in
-    every engine the oracle contract spans."""
+    every engine the oracle contract spans.
+
+    LIFECYCLE: pass ``sketch`` (a persisted + materialized
+    ``simhash_sketch`` table with matching ``n_bits``) to OWN the cache
+    lifecycle — no global state is touched and the caller unpersists when
+    every plan built on it is done. Without it, a module-level
+    latest-wins slot unpersists the PREVIOUS default-path call's sketch
+    on re-entry; building plan A, then plan B, then materializing A
+    re-runs A's kernel per join branch (correctness unaffected)."""
     from pyspark.storagelevel import StorageLevel
 
-    global _last_simhashes
-    if _last_simhashes is not None:
-        try:
-            _last_simhashes.unpersist(blocking=False)
-        except Exception:
-            pass  # session of the old handle may be gone
     n_bands = n_bits // band_bits
     mask = (1 << band_bits) - 1
-    sims = simhash_sketch(df, id_col, text_col, n_bits=n_bits) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    _last_simhashes = sims
-    sims.count()  # materialize ONCE before the join forks two readers
+    if sketch is not None:
+        sims = sketch  # caller-owned persisted table; no bookkeeping
+    else:
+        global _last_simhashes
+        if _last_simhashes is not None:
+            try:
+                _last_simhashes.unpersist(blocking=False)
+            except Exception:
+                pass  # session of the old handle may be gone
+        sims = simhash_sketch(df, id_col, text_col, n_bits=n_bits) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        _last_simhashes = sims
+        sims.count()  # materialize ONCE before the join forks two readers
     bands = sims.select(
         F.col(id_col), "simhash",
         F.explode(F.array(*[

@@ -211,7 +211,12 @@ def train_centroids(df: DataFrame, n_cells: int = 16, n_iter: int = 5,
 
     Returned as plain lists — feed straight into ivf_assign/ivf_topk."""
     cents = seed_centroids(df, n_cells, id_col, vec_col)
-    dim = len(cents[0]) if cents else 0
+    if not cents:
+        # fail loudly up front: an empty seed would reach ivf_assign with
+        # zero centroids and die inside _cell_scores with a message about
+        # array_max, far from the actual cause (empty training input)
+        raise ValueError("train_centroids: input has no vectors to train on")
+    dim = len(cents[0])
     for _ in range(n_iter):
         assigned = ivf_assign(df, cents, id_col, vec_col)
         means = (

@@ -15,7 +15,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import char_count, line_count, word_count
-from ..kernels.lang import STOPWORDS
+from ..kernels.lang import SCRIPTS, STOPWORDS
+
+
+def script_char_class(ranges: tuple[tuple[int, int], ...]) -> str:
+    """Regex character class for a tuple of (lo, hi) codepoint ranges —
+    literal characters, which Java regex and RE2 (DuckDB) read
+    identically, so the SQL twin can share the exact pattern."""
+    return "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in ranges) + "]"
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
 BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -62,23 +69,35 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def lang_id_sql(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """SQL-expressible stopword-profile language id (SPEC.md §5 marker
-    sets, ≥2-hit threshold, alphabetical tie-break) — the codegen'd
-    COUNTERPART of kernels/lang.py for corpora where per-row Python is
-    not worth it. NOT a bit-exact twin: this tier counts ``\\b``-bounded
-    hits, so a stopword butted against digits/underscores ('was3the3')
-    contributes no hit here but does in the kernel's letters-only
-    tokenizer ([a-zA-ZÀ-ɏ]+). The divergence only shows on id/log-like
-    text; prose labels identically. (Aligning them would need lookbehind
-    — which RE2/DuckDB lacks — or an alternation that undercounts
-    adjacent stopwords; the honest trade is documented instead.)"""
-    lowered = F.lower(F.col(text_col))
+    """SQL-expressible language id (SPEC.md §5: stopword marker hits for
+    Latin-script profiles, script-range character counts for non-Latin
+    ones, Japanese = kana + Han-iff-kana≥2, ≥2 threshold, alphabetical
+    tie-break) — the codegen'd COUNTERPART of kernels/lang.py for corpora
+    where per-row Python is not worth it. NOT a bit-exact twin of the
+    kernel: this tier counts ``\\b``-bounded stopword hits, and ``\\b``
+    is ASCII-word-based in both Java regex and RE2, so a stopword butted
+    against digits/underscores ('was3the3') or bounded by an accented
+    letter contributes no hit here but does in the kernel's letters-only
+    tokenizer. The divergence only shows on id/log-like text; prose
+    labels identically. (Aligning them would need lookbehind — which
+    RE2/DuckDB lacks — or an alternation that undercounts adjacent
+    stopwords; the honest trade is documented instead.)"""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lowered = F.lower(c)
     hit_cols = {
         lang: F.regexp_count(
             lowered, F.lit(r"\b(" + "|".join(sorted(words)) + r")\b"))
-        for lang, words in sorted(STOPWORDS.items())
+        for lang, words in STOPWORDS.items()
     }
-    out = df.select(F.col(id_col), *[v.alias(f"hits_{k}") for k, v in hit_cols.items()])
+    for lang, ranges in SCRIPTS.items():
+        hit_cols[lang] = F.regexp_count(
+            c, F.lit(script_char_class(ranges)))
+    # Japanese prose is majority kanji; Chinese prose carries no kana
+    hit_cols["ja"] = hit_cols["ja"] + F.when(
+        hit_cols["ja"] >= 2, hit_cols["zh"]).otherwise(F.lit(0))
+    out = df.select(F.col(id_col),
+                    *[v.alias(f"hits_{k}")
+                      for k, v in sorted(hit_cols.items())])
     best_hits = F.greatest(*[F.col(f"hits_{k}") for k in sorted(hit_cols)])
     pred = F.lit("unknown")
     # alphabetical priority: later (reverse-sorted) langs overwritten by earlier

@@ -49,6 +49,18 @@ DEFAULT_SALT = 4
 
 @dataclass
 class RunStats:
+    """Per-run lineage summary.
+
+    ``input_rows`` (and the per-bucket stats it is summed from) comes from
+    a Spark accumulator updated inside the extraction *transformation*, and
+    accumulator updates in transformations are AT-LEAST-ONCE: a retried or
+    speculatively re-executed task adds its batch counts again. The written
+    rows and the parquet-footer row counts stay exact (dynamic-partition
+    overwrite commits one task attempt per partition); only these advisory
+    throughput/lineage stats can over-count. On hosts with bursty CPU steal
+    (which triggers speculation) either disable speculation for the extract
+    stage or read exact counts from the lineage table's footer-derived
+    columns instead."""
     run_id: str
     buckets_done: list[int]
     buckets_skipped: list[int]

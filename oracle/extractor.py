@@ -65,16 +65,53 @@ _LANG_MARKERS = {
               "muy sin sobre también hasta donde".split()),
     "fr": set("le les des une est dans qui pas sur vous nous avec être "
               "cette mais ont aux ses fait aussi".split()),
+    "id": set("yang dan dengan untuk dari ini itu tidak akan pada juga "
+              "adalah bisa sudah telah".split()),
+    "it": set("di che per sono della nel alla gli anche dopo questo quando "
+              "essere stato ogni".split()),
+    "nl": set("het van een voor niet zijn hebben wordt naar ook deze onze "
+              "hun maar nog".split()),
+    "pl": set("nie jest jak przez tylko jego bardzo jako oraz ale przy gdy "
+              "czy lub także".split()),
+    "pt": set("um uma foi dos ela ele seu sua pelo isso quem depois apenas "
+              "ainda onde".split()),
+    "sv": set("och att det som av den inte har ett om man efter för eller "
+              "mycket".split()),
+    "tr": set("bir ve bu için ile olarak daha sonra kadar gibi ancak olan "
+              "her ama değil".split()),
+    "vi": set("của không người trong cũng những việc một này khi nhưng với "
+              "làm năm theo".split()),
 }
-_WORD_RE = re.compile(r"[a-zA-ZÀ-ɏ]+")
+# non-Latin scripts: one marker per character inside the language's core
+# Unicode block(s); Japanese counts kana here and adds the Han tally when
+# kana >= 2 (SPEC.md §5 — Japanese prose is mostly kanji, Chinese has no
+# kana)
+_LANG_SCRIPTS = {
+    "ar": "؀-ۿ",
+    "el": "Ͱ-Ͽ",
+    "he": "֐-׿",
+    "hi": "ऀ-ॿ",
+    "ja": "぀-ヿ",
+    "ko": "ᄀ-ᇿ가-힯",
+    "ru": "Ѐ-ӿ",
+    "th": "฀-๿",
+    "zh": "一-鿿",
+}
+_WORD_RE = re.compile(r"[a-zA-ZÀ-ɏḀ-ỿ]+")
 
 
 def _lang(text: str) -> str:
-    words = _WORD_RE.findall(text.lower()) if text else []
+    if not text:
+        return "unknown"
+    words = _WORD_RE.findall(text.lower())
     scores = {
         code: sum(w in markers for w in words)
         for code, markers in _LANG_MARKERS.items()
     }
+    for code, cls in _LANG_SCRIPTS.items():
+        scores[code] = len(re.findall(f"[{cls}]", text))
+    if scores["ja"] >= 2:
+        scores["ja"] += scores["zh"]
     best = max(sorted(scores), key=lambda c: scores[c])
     return best if scores[best] >= 2 else "unknown"
 

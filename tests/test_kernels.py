@@ -78,6 +78,45 @@ def test_lang_en_es_unknown():
     assert detect_language("") == "unknown"
 
 
+def test_lang_latin_breadth():
+    # one prose sample per r3-added Latin-script profile (SPEC.md §5)
+    assert detect_language("di che cosa sono fatte queste cose anche") == "it"
+    assert detect_language("ela foi um dos melhores e seu amigo ainda") == "pt"
+    assert detect_language("het huis van een man voor niet veel geld") == "nl"
+    assert detect_language("nie jest jak przez tylko jego bardzo") == "pl"
+    assert detect_language("och att det som inte har ett hus") == "sv"
+    assert detect_language("bir ve bu kadar sonra daha gibi") == "tr"
+    assert detect_language("yang dan dengan untuk dari ini itu") == "id"
+    assert detect_language("của không người trong cũng những việc") == "vi"
+
+
+def test_lang_script_breadth():
+    # one sample per script-range language (SPEC.md §5)
+    assert detect_language("Это русский текст про язык") == "ru"
+    assert detect_language("这是一段中文文本内容") == "zh"
+    assert detect_language("이것은 한국어 텍스트입니다") == "ko"
+    assert detect_language("هذا نص عربي قصير") == "ar"
+    assert detect_language("זהו טקסט בעברית") == "he"
+    assert detect_language("αυτό είναι ελληνικό κείμενο") == "el"
+    assert detect_language("นี่คือข้อความภาษาไทย") == "th"
+    assert detect_language("यह हिंदी में एक पाठ है") == "hi"
+
+
+def test_lang_japanese_beats_chinese_on_kana():
+    # Japanese prose is majority kanji: the kana>=2 rule must route the
+    # combined kana+Han count to ja, while pure-Han text stays zh
+    assert detect_language("これは日本語のテキストです") == "ja"
+    assert detect_language("日本語の文章は漢字が多いです") == "ja"
+    assert detect_language("汉字文本没有假名只有汉字") == "zh"
+    # one stray kana char in Han text is below the 2-kana threshold
+    assert detect_language("汉字文本の没有假名") == "zh"
+
+
+def test_lang_script_below_threshold_stays_unknown():
+    assert detect_language("one 字 here") == "unknown"
+    assert detect_language("x 字 y 字 z") == "zh"
+
+
 # --------------------------------------------------------------------- html
 def test_html_basic_boilerplate_strip():
     doc = (
