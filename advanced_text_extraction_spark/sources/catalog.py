@@ -147,7 +147,15 @@ def completed_buckets(spark: SparkSession, root: str,
     path = lineage_path(root)
     if not _fs_exists(spark, path):  # Iceberg: catalog.tableExists
         return []
-    lineage = spark.read.parquet(path)
+    # mergeSchema: a long-lived warehouse accumulates lineage files from
+    # several engine versions; plain read.parquet samples ONE file's
+    # schema, so a single legacy file (pre-n_buckets) would hide the
+    # column carried by every NEW file and permanently disable resume
+    # for the whole table (observed on a mid-r2 warehouse). Merged,
+    # legacy rows read n_buckets as null and fail the filter below —
+    # exactly "treat unverifiable rows as incomplete". Lineage is tiny,
+    # so the extra footer reads are noise.
+    lineage = spark.read.option("mergeSchema", "true").parquet(path)
     done = lineage.filter(F.col("extractor_version") == extractor_version)
     if n_buckets is not None:
         if "n_buckets" not in lineage.columns:
@@ -173,7 +181,10 @@ def resume_anti_join(df: DataFrame, spark: SparkSession, root: str,
     a different bucketing never match."""
     if not _fs_exists(spark, lineage_path(root)):
         return df
-    lineage = spark.read.parquet(lineage_path(root))
+    # mergeSchema for the same reason as completed_buckets: one legacy
+    # file must not hide n_buckets from the whole table
+    lineage = spark.read.option("mergeSchema", "true") \
+        .parquet(lineage_path(root))
     done = lineage.filter(F.col("extractor_version") == extractor_version)
     if n_buckets is not None:
         if "n_buckets" not in lineage.columns:

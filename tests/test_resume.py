@@ -79,3 +79,43 @@ def test_resume_keyed_on_n_buckets(spark, roots):
     run = run_extract_job(spark, df, root, n_buckets=4, salt=2)
     assert run.buckets_skipped == []
     assert run.input_rows == df.count()
+
+
+def test_resume_survives_legacy_lineage_files(spark, roots):
+    """Schema evolution: a lineage dir holding BOTH legacy files (written
+    before the n_buckets column existed) and modern files must still
+    satisfy the skip probe — plain read.parquet samples one file's
+    schema, so without mergeSchema a single legacy file can hide
+    n_buckets from the whole table and permanently disable resume
+    (observed on a mid-r2 warehouse via the spark-submit surface)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df, root = roots  # warehouse completed at N_BUCKETS=8 by earlier tests
+    done = catalog.completed_buckets(spark, root, EXTRACTOR_VERSION,
+                                     n_buckets=N_BUCKETS)
+    assert done
+    # forge one legacy file: the modern schema minus n_buckets, stamped
+    # with an old version so it can never satisfy the probe itself
+    # (pyarrow, not duckdb: the forgery must keep Spark's timestamp
+    # logical type — an NTZ rewrite would fail the merge for an
+    # unrelated reason)
+    lin = catalog.lineage_path(root)
+    src = sorted(glob.glob(os.path.join(lin, "*.parquet")))[0]
+    legacy = os.path.join(lin, "part-00000-legacy.parquet")
+    t = pq.read_table(src).drop_columns(["n_buckets"])
+    t = t.set_column(t.schema.get_field_index("extractor_version"),
+                     "extractor_version",
+                     pa.array(["legacy/0.0"] * len(t), pa.string()))
+    pq.write_table(t, legacy)
+    try:
+        assert catalog.completed_buckets(
+            spark, root, EXTRACTOR_VERSION, n_buckets=N_BUCKETS) == done
+        rerun = run_extract_job(spark, df, root, n_buckets=N_BUCKETS, salt=2)
+        assert rerun.input_rows == 0 and rerun.buckets_done == []
+        assert sorted(rerun.buckets_skipped) == done
+    finally:
+        os.remove(legacy)
