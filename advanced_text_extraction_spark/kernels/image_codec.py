@@ -12,12 +12,17 @@ container without imaging libraries:
   top-down rows, 4-byte row padding)
 - PNG (baseline: stdlib zlib inflate + numpy scanline unfiltering; color
   types 0/2/3/4/6 at bit depth 8, filters 0-4)
+- JPEG (baseline sequential DCT per ITU-T T.81: Huffman entropy decode,
+  dequantize/dezigzag, vectorized 8x8 IDCT, chroma upsampling, YCbCr→RGB;
+  encoder with Annex K tables for the fixture side; 4:4:4/4:2:2/4:2:0,
+  restart markers)
 - raw gray buffers (width*height bytes — the shape of a FlateDecoded
   /DeviceGray PDF image XObject)
 - the repo's FIMG fake container (multimodal/media.py) for synth tables
 
-JPEG (the one format needing a DCT codec) routes to an import-guarded
-real-codec hook, same pattern as multimodal/media.py:_decode_real_image.
+Non-baseline JPEG variants (progressive/arithmetic/12-bit) route to an
+import-guarded real-codec hook, same pattern as
+multimodal/media.py:_decode_real_image.
 
 All decoders return ``np.ndarray`` of dtype uint8 — ``(h, w)`` grayscale
 or ``(h, w, 3)`` RGB — matching what the preprocessing kernel consumes.
@@ -342,6 +347,581 @@ def encode_png_gray(arr: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, from scratch — ITU-T T.81)
+# ---------------------------------------------------------------------------
+# The one compressed format real multimodal corpora are dominated by
+# (reference OCRs .jpg natively via cv2.imread,
+# /root/reference/text_extractor.py:887-903; ext list :771). Decoder
+# handles baseline sequential (SOF0) with 8-bit samples, 1 or 3
+# components, any sampling factors 1-2 (4:4:4/4:2:2/4:2:0), restart
+# markers, multiple DQT/DHT segments. Progressive (SOF2) / arithmetic /
+# 12-bit route to the import-guarded real-codec hook as before.
+# Encoder (fixture/synth side) writes baseline gray or YCbCr at 4:4:4
+# or 4:2:0 with the Annex K tables, optional restart interval.
+
+class _UnsupportedJpeg(ImageError):
+    """Valid JPEG, but beyond the baseline-sequential feature set —
+    dispatch falls through to the real-codec hook."""
+
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K quantization tables (luminance / chrominance), row-major
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_QUANT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32, dtype=np.int64)
+
+# Annex K Huffman specs: (bits[1..16] counts, values)
+_HUFF_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_HUFF_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                   list(range(12)))
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+
+
+def _dct_mat() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix C: forward F = C @ f @ C.T,
+    inverse f = C.T @ F @ C."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    c = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    c[0, :] *= 1 / np.sqrt(2)
+    return c
+
+
+_DCT_C = _dct_mat()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) → symbol for a canonical JPEG Huffman table."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over a destuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ImageError("JPEG entropy data exhausted")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def take(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > len(self.bits):
+            raise ImageError("JPEG entropy data exhausted")
+        chunk = self.bits[self.pos:self.pos + n]
+        self.pos += n
+        return int(chunk @ (1 << np.arange(n - 1, -1, -1, dtype=np.int64)))
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ImageError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """DIFF/AC value decoding (T.81 F.2.2.1): t-bit magnitude v maps to
+    [-2^t+1, -2^(t-1)] ∪ [2^(t-1), 2^t-1]."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_segments(buf: bytes):
+    """Yield (marker, payload, next_offset); stops before SOS payload."""
+    if buf[:2] != b"\xff\xd8":
+        raise ImageError("not a JPEG payload")
+    i = 2
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            raise ImageError("JPEG marker sync lost")
+        marker = buf[i + 1]
+        if marker == 0xD9:  # EOI
+            return
+        (length,) = struct.unpack_from(">H", buf, i + 2)
+        payload = buf[i + 4:i + 2 + length]
+        yield marker, payload, i + 2 + length
+        if marker == 0xDA:  # SOS — entropy data follows, stop here
+            return
+        i += 2 + length
+    raise ImageError("truncated JPEG stream")
+
+
+def _split_entropy(buf: bytes, start: int) -> list[bytes]:
+    """Entropy-coded segments between restart markers, destuffed
+    (FF00 → FF); scan ends at any non-RST marker (normally EOI)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(buf)
+    while i < n:
+        b = buf[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = buf[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed FF
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next real marker
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline sequential JPEG → gray ``(h, w)`` or RGB ``(h, w, 3)``.
+    Raises :class:`_UnsupportedJpeg` for progressive/arithmetic/12-bit
+    streams (dispatch falls through to the real-codec hook)."""
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → table
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+    scan_comps: list[dict] = []
+    sos_end = None
+
+    for marker, payload, nxt in _jpeg_segments(buf):
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise _UnsupportedJpeg(
+                f"non-baseline JPEG (SOF marker 0x{marker:02x})")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(payload):
+                pq, tq = payload[j] >> 4, payload[j] & 0x0F
+                if pq != 0:
+                    raise _UnsupportedJpeg("16-bit JPEG quant table")
+                if j + 65 > len(payload):
+                    raise ImageError("truncated JPEG DQT")
+                tbl = np.frombuffer(payload, dtype=np.uint8,
+                                    count=64, offset=j + 1).astype(np.int64)
+                quant[tq] = tbl
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(payload):
+                if j + 17 > len(payload):
+                    raise ImageError("truncated JPEG DHT")
+                tc, th = payload[j] >> 4, payload[j] & 0x0F
+                bits = list(payload[j + 1:j + 17])
+                nv = sum(bits)
+                if j + 17 + nv > len(payload):
+                    raise ImageError("truncated JPEG DHT values")
+                vals = list(payload[j + 17:j + 17 + nv])
+                huff[(tc, th)] = _canonical_codes(bits, vals)
+                j += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            if len(payload) < 6:
+                raise ImageError("truncated JPEG SOF")
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if len(payload) < 6 + 3 * nc:
+                raise ImageError("truncated JPEG SOF components")
+            if prec != 8:
+                raise _UnsupportedJpeg(f"{prec}-bit JPEG samples")
+            if nc not in (1, 3):
+                raise _UnsupportedJpeg(f"{nc}-component JPEG")
+            for k in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", payload, 6 + 3 * k)
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F,
+                              "tq": tq})
+        elif marker == 0xDD:  # DRI
+            if len(payload) < 2:
+                raise ImageError("truncated JPEG DRI")
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:  # SOS
+            if not payload or len(payload) < 1 + 2 * payload[0]:
+                raise ImageError("truncated JPEG SOS")
+            ns = payload[0]
+            for k in range(ns):
+                cs, tt = payload[1 + 2 * k], payload[2 + 2 * k]
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    raise ImageError("JPEG scan references unknown component")
+                comp["dc"] = huff.get((0, tt >> 4))
+                comp["ac"] = huff.get((1, tt & 0x0F))
+                if comp["dc"] is None or comp["ac"] is None:
+                    raise ImageError("JPEG scan references missing DHT")
+                scan_comps.append(comp)
+            sos_end = nxt
+    if sos_end is None or not comps:
+        raise ImageError("JPEG missing SOF/SOS")
+    if len(scan_comps) != len(comps):
+        raise _UnsupportedJpeg("multi-scan JPEG")
+    if w <= 0 or h <= 0 or w * h > (1 << 28):
+        raise ImageError(f"bad JPEG dimensions {w}x{h}")
+    for c in comps:
+        if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+            raise _UnsupportedJpeg(
+                f"JPEG sampling {c['h']}x{c['v']} out of the 1-2 range")
+        if c["tq"] not in quant:
+            raise ImageError("JPEG component references missing DQT")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    for c in comps:
+        c["coef"] = np.zeros(
+            (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+
+    segs = _split_entropy(buf, sos_end)
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    preds = {c["id"]: 0 for c in comps}
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ImageError("JPEG missing restart segment")
+            reader = _BitReader(segs[seg_idx])
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcus_x)
+        for c in scan_comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    t = reader.huff(c["dc"])
+                    preds[c["id"]] += _extend(reader.take(t), t)
+                    zz[0] = preds[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = reader.huff(c["ac"])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ImageError("JPEG AC run overflows block")
+                        zz[k] = _extend(reader.take(s), s)
+                        k += 1
+                    c["coef"][my * c["v"] + by, mx * c["h"] + bx] = zz
+
+    planes = []
+    for c in comps:
+        by, bx = c["coef"].shape[:2]
+        blocks = np.zeros((by * bx, 8, 8), dtype=np.float64)
+        flat = c["coef"].reshape(by * bx, 64) * quant[c["tq"]][None, :]
+        blocks.reshape(by * bx, 64)[:, _ZIGZAG] = flat
+        spatial = np.einsum("ux,nuv,vy->nxy", _DCT_C, blocks, _DCT_C)
+        plane = (spatial.reshape(by, bx, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+        plane = np.clip(np.round(plane) + 128, 0, 255).astype(np.uint8)
+        # upsample to full resolution by replication, then crop
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return planes[0]
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=-1)
+    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    if (rgb[..., 0] == rgb[..., 1]).all() and (rgb[..., 1] == rgb[..., 2]).all():
+        return np.ascontiguousarray(rgb[..., 0])
+    return rgb
+
+
+# -- encoder (fixture/synth side) -------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:
+            self.put(1, 1)  # pad with 1s per T.81 F.1.2.3
+
+
+def _encode_codes(bits: list[int], vals: list[int]) -> dict[int, tuple]:
+    """symbol → (code, length) for the encoder side."""
+    return {sym: (code, length)
+            for (length, code), sym in _canonical_codes(bits, vals).items()}
+
+
+def _scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 1-100 → table multiplier."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(wr: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_tab: dict, ac_tab: dict) -> int:
+    diff = int(zz[0]) - pred
+    t = _category(diff)
+    code, ln = dc_tab[t]
+    wr.put(code, ln)
+    if t:
+        wr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            wr.put(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_tab[(run << 4) | s]
+        wr.put(code, ln)
+        wr.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        wr.put(code, ln)
+    return int(zz[0])
+
+
+def _comp_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Plane (multiple-of-8 dims) → zigzagged quantized blocks
+    (by, bx, 64)."""
+    h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+    f = plane.astype(np.float64) - 128.0
+    blocks = (f.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3)
+              .reshape(h8 * w8, 8, 8))
+    coefs = np.einsum("ux,nxy,vy->nuv", _DCT_C, blocks, _DCT_C)
+    zz = coefs.reshape(h8 * w8, 64)[:, _ZIGZAG]
+    qz = np.round(zz / q[None, :]).astype(np.int64)
+    return qz.reshape(h8, w8, 64)
+
+
+def _pad_edge(a: np.ndarray, mult: int) -> np.ndarray:
+    ph = (-a.shape[0]) % mult
+    pw = (-a.shape[1]) % mult
+    return np.pad(a, ((0, ph), (0, pw)), mode="edge") if ph or pw else a
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Baseline JPEG encoder: gray ``(h, w)`` or RGB ``(h, w, 3)``;
+    ``subsample=True`` writes 4:2:0 chroma, else 4:4:4; optional DRI."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise ImageError("encode_jpeg wants gray or RGB uint8")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ImageError("encode_jpeg got an empty image")
+    gray = arr.shape[2] == 1
+    ql = _scale_quant(_QUANT_LUMA, quality)
+    qc = _scale_quant(_QUANT_CHROMA, quality)
+
+    if gray:
+        y = arr[:, :, 0].astype(np.float64)
+        planes = [(_pad_edge(y, 8), ql, 1, 1)]
+    else:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:  # 4:2:0 — box-average chroma
+            ype = _pad_edge(y, 16)
+            cbp = _pad_edge(cb, 16)
+            crp = _pad_edge(cr, 16)
+            cbs = cbp.reshape(cbp.shape[0] // 2, 2,
+                              cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+            crs = crp.reshape(crp.shape[0] // 2, 2,
+                              crp.shape[1] // 2, 2).mean(axis=(1, 3))
+            planes = [(ype, ql, 2, 2), (cbs, qc, 1, 1), (crs, qc, 1, 1)]
+        else:
+            planes = [(_pad_edge(y, 8), ql, 1, 1),
+                      (_pad_edge(cb, 8), qc, 1, 1),
+                      (_pad_edge(cr, 8), qc, 1, 1)]
+
+    blocks = [_comp_blocks(np.clip(np.round(p), 0, 255), q)
+              for p, q, _, _ in planes]
+    hmax = max(p[2] for p in planes)
+    vmax = max(p[3] for p in planes)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    dc_l = _encode_codes(*_HUFF_DC_LUMA)
+    ac_l = _encode_codes(*_HUFF_AC_LUMA)
+    dc_c = _encode_codes(*_HUFF_DC_CHROMA)
+    ac_c = _encode_codes(*_HUFF_AC_CHROMA)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    seg(0xDB, bytes([0x00]) + bytes(int(v) for v in ql))
+    if not gray:
+        seg(0xDB, bytes([0x01]) + bytes(int(v) for v in qc))
+    nf = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nf)
+    sof += bytes([1, (planes[0][2] << 4) | planes[0][3], 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    seg(0xC0, sof)
+
+    def dht(tc: int, th: int, spec: tuple) -> None:
+        bits, vals = spec
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    dht(0, 0, _HUFF_DC_LUMA)
+    dht(1, 0, _HUFF_AC_LUMA)
+    if not gray:
+        dht(0, 1, _HUFF_DC_CHROMA)
+        dht(1, 1, _HUFF_AC_CHROMA)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nf, 1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    tabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (nf - 1)
+    samps = [(p[2], p[3]) for p in planes]
+    preds = [0] * nf
+    wr = _BitWriter()
+    n_mcus = mcus_x * mcus_y
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            wr.flush()
+            out.extend(wr.out)
+            out.extend(bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]))
+            wr = _BitWriter()
+            preds = [0] * nf
+        my, mx = divmod(m, mcus_x)
+        for ci in range(nf):
+            hs, vs = samps[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    zz = blocks[ci][my * vs + by, mx * hs + bx]
+                    preds[ci] = _encode_block(
+                        wr, zz, preds[ci], tabs[ci][0], tabs[ci][1])
+    wr.flush()
+    out.extend(wr.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -350,8 +930,9 @@ def _decode_real(buf: bytes) -> np.ndarray:  # pragma: no cover - no libs here
         import cv2
     except ImportError as exc:
         raise NotImplementedError(
-            "compressed image codecs (PNG/JPEG) need cv2/PIL, not installed "
-            "in this environment") from exc
+            "non-baseline JPEG variants (progressive/arithmetic/12-bit) "
+            "need cv2/PIL, not installed in this environment — baseline "
+            "sequential JPEG and PNG decode from scratch") from exc
     arr = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_UNCHANGED)
     if arr is None:
         raise ImageError("cv2.imdecode failed")
@@ -379,6 +960,10 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_raw_gray(buf[8:], w, h)
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
-    if buf[:3] == b"\xff\xd8\xff":  # JPEG needs a DCT codec
-        return _decode_real(buf)
+    if buf[:3] == b"\xff\xd8\xff":
+        try:
+            return decode_jpeg(buf)  # baseline sequential: from scratch
+        except _UnsupportedJpeg:
+            # progressive/arithmetic/12-bit — the real-codec hook
+            return _decode_real(buf)
     raise ImageError(f"unrecognized image magic {buf[:4]!r}")

@@ -72,12 +72,24 @@ def _decode_real_image(buf: bytes) -> np.ndarray:
     except ImportError as exc:
         raise NotImplementedError(
             "real image codecs (cv2/PIL) are not installed in this "
-            "environment — use the 'fake' codec or install opencv") from exc
+            "environment — use the 'sniff' codec (from-scratch "
+            "PNG/JPEG/BMP/PNM decoders) or install opencv") from exc
     import cv2
     return cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_GRAYSCALE)
 
 
-IMAGE_CODECS = {"fake": _decode_fake_image, "real": _decode_real_image}
+def _decode_sniff_image(buf: bytes) -> np.ndarray:
+    """Magic-sniffing from-scratch decoder over every container the
+    kernel codec supports (FIMG/PNM/BMP/PNG/baseline JPEG), folded to
+    the grayscale contract the feature kernels expect."""
+    from ..kernels.image_codec import decode_image
+    from ..kernels.image_prep import to_gray
+
+    return to_gray(decode_image(bytes(buf)))
+
+
+IMAGE_CODECS = {"fake": _decode_fake_image, "real": _decode_real_image,
+                "sniff": _decode_sniff_image}
 
 
 # ---------------------------------------------------------------------------

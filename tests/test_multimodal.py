@@ -88,3 +88,36 @@ def test_audio_stats(media_df):
 def test_real_codec_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         M.IMAGE_CODECS["real"](b"\xff\xd8\xff")
+
+
+def test_image_stats_sniff_codec_over_jpeg_and_png(spark):
+    """The 'sniff' codec decodes real container formats from scratch —
+    JPEG payloads (the dominant real-world raster, r2 VERDICT gap #1)
+    flow through the same Spark plumbing as the fake container."""
+    import pandas as pd
+
+    from advanced_text_extraction_spark.kernels.image_codec import (
+        decode_jpeg, encode_jpeg, encode_png_gray)
+
+    imgs = {
+        0: ((np.arange(24 * 32) * 7) % 251).astype(np.uint8).reshape(24, 32),
+        1: np.full((16, 16), 130, np.uint8),
+        2: ((np.arange(20 * 28) * 13) % 251).astype(np.uint8).reshape(20, 28),
+    }
+    payloads = {0: encode_jpeg(imgs[0], quality=95),
+                1: encode_jpeg(imgs[1], quality=90, subsample=False),
+                2: encode_png_gray(imgs[2])}
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": list(payloads),
+                      "kind": ["image"] * 3,
+                      "payload": list(payloads.values()),
+                      "meta": [{}] * 3}),
+        schema=M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.image_stats(df, codec="sniff").collect()}
+    for mid, img in imgs.items():
+        r = out[mid]
+        assert r["status"] == "ok"
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        # JPEG is lossy: compare against the decode, not the original
+        want = (decode_jpeg(payloads[mid]) if mid < 2 else img).mean()
+        assert r["mean_intensity"] == pytest.approx(want)

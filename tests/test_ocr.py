@@ -420,3 +420,79 @@ def test_run_extract_job_ocr_fallback(spark, tmp_path):
     assert len(out) == 1
     assert out[0].metadata["text_layer"] == "ocr"
     assert out[0].extracted_text == expected
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (baseline sequential, from scratch — r3)
+# ---------------------------------------------------------------------------
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_jpeg_gray_roundtrip():
+    from advanced_text_extraction_spark.kernels.image_codec import (
+        decode_jpeg, encode_jpeg)
+    # uniform block is DC-only: must roundtrip exactly
+    flat = np.full((24, 40), 200, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, quality=90)) == flat).all()
+    # gradient at non-multiple-of-8 dims: high-fidelity, exact shape
+    grad = (np.linspace(0, 255, 37)[None, :]
+            * np.ones((29, 1))).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, quality=92))
+    assert out.shape == grad.shape and _psnr(grad, out) > 40
+    # noise (worst case for DCT) still reconstructs closely at q95
+    noise = ((np.arange(32 * 32) * 193) % 256).astype(np.uint8).reshape(32, 32)
+    out = decode_jpeg(encode_jpeg(noise, quality=95))
+    assert _psnr(noise, out) > 35
+
+
+def test_jpeg_color_444_and_420():
+    from advanced_text_extraction_spark.kernels.image_codec import (
+        decode_jpeg, encode_jpeg)
+    yy, xx = np.mgrid[0:33, 0:41]
+    img = np.zeros((33, 41, 3), np.uint8)
+    img[..., 0] = (xx * 6).astype(np.uint8)
+    img[..., 1] = (yy * 7).astype(np.uint8)
+    img[..., 2] = 128
+    out = decode_jpeg(encode_jpeg(img, quality=92))
+    assert out.shape == img.shape and _psnr(img, out) > 40
+    out = decode_jpeg(encode_jpeg(img, quality=92, subsample=True))
+    assert out.shape == img.shape and _psnr(img, out) > 32  # 4:2:0 chroma
+
+
+def test_jpeg_restart_markers():
+    from advanced_text_extraction_spark.kernels.image_codec import (
+        decode_jpeg, encode_jpeg)
+    img = ((np.arange(64 * 64) * 29) % 256).astype(np.uint8).reshape(64, 64)
+    buf = encode_jpeg(img, quality=95, restart_interval=3)
+    assert any(bytes([0xFF, 0xD0 + i]) in buf for i in range(8))
+    assert _psnr(img, decode_jpeg(buf)) > 35
+
+
+def test_jpeg_dispatch_and_errors():
+    from advanced_text_extraction_spark.kernels.image_codec import (
+        decode_jpeg, encode_jpeg)
+    img = ((np.arange(16 * 24) * 11) % 256).astype(np.uint8).reshape(16, 24)
+    buf = encode_jpeg(img, quality=95)
+    assert (decode_image(buf) == decode_jpeg(buf)).all()
+    with pytest.raises(ImageError):
+        decode_jpeg(buf[:40])  # truncated mid-header
+    with pytest.raises(ImageError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI only, no SOF/SOS
+    # progressive (SOF2) is valid JPEG but beyond baseline: dispatch
+    # routes it to the import-guarded real-codec hook, which without
+    # cv2 raises NotImplementedError (not a silent wrong decode)
+    prog = buf.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_image(prog)
+
+
+def test_ocr_reads_jpeg_render():
+    from advanced_text_extraction_spark.kernels.image_codec import (
+        decode_jpeg, encode_jpeg)
+    page = render_page(TXT.split("\n")[0])
+    back = decode_jpeg(encode_jpeg(page, quality=95))
+    res = ocr_image(back, engine="auto", preprocess=True)
+    assert res["text"] == TXT.split("\n")[0]
