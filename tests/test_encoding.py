@@ -4,6 +4,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from advanced_text_extraction_spark.kernels.encoding import (
     decode_bytes,
     detect_encoding,
@@ -105,3 +107,59 @@ def test_with_decoded_text_spark(spark):
     # drop_bytes=False keeps the binary column
     kept = with_decoded_text(df, "raw", drop_bytes=False)
     assert "raw" in kept.columns
+
+
+# ---------------------------------------------------------------------------
+# CJK multi-byte + BOM-less UTF-16 CJK ladder (r3 — chardet breadth
+# parity for the shift-jis/gbk/euc-kr family, reference
+# text_extractor.py:933)
+# ---------------------------------------------------------------------------
+
+JP = "これは日本語のテキストです。改行もあります。\n天気は良いです。"
+KO = "이것은 한국어 텍스트입니다. 날씨가 좋습니다."
+ZH = "这是一段中文文本。今天天气很好。我们在测试编码检测。"
+
+
+@pytest.mark.parametrize("text,enc", [
+    (JP, "shift_jis"),
+    ("日本語の漢字だらけの文、仮名も少し入ります。", "shift_jis"),
+    (KO, "euc-kr"),
+    (ZH, "gbk"),
+    ("mixed 中文 with english words 测试", "gbk"),
+])
+def test_cjk_multibyte_families(text, enc):
+    data = text.encode(enc)
+    got, conf = detect_encoding(data)
+    assert got == enc and conf == 0.8
+    decoded, e, _ = decode_bytes(data)
+    assert decoded == text and e == enc
+
+
+def test_cjk_family_confusion_gates():
+    """The code spaces overlap: GBK Chinese strict-decodes as euc-kr
+    Hangul and Korean bytes as GBK Han — the per-codec script gates
+    (kana presence, Hangul+space, Han majority) must keep each family
+    in its own lane (roundtrip via the detected codec)."""
+    for text, enc in ((ZH, "gbk"), (KO, "euc-kr"), (JP, "shift_jis")):
+        decoded, got, _ = decode_bytes(text.encode(enc))
+        assert (got, decoded) == (enc, text)
+
+
+@pytest.mark.parametrize("text,enc", [
+    (ZH[:16], "utf-16-le"),
+    (JP, "utf-16-be"),
+])
+def test_bomless_utf16_cjk(text, enc):
+    """CJK UTF-16 carries almost no NUL bytes, so the parity heuristic
+    cannot see it — the ladder's UTF-16 tail must."""
+    data = text.encode(enc)
+    assert data.count(0) / len(data) < 0.3  # parity branch blind here
+    got, conf = detect_encoding(data)
+    assert got == enc and conf == 0.6
+    assert decode_bytes(data)[0] == text
+
+
+def test_cjk_ladder_leaves_latin1_alone():
+    data = "Café déjà vu, naïve façade, à bientôt très tôt.".encode("latin-1")
+    got, conf = detect_encoding(data)
+    assert got == "latin-1"
