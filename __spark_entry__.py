@@ -241,8 +241,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return S.ivf_topk(emb, _query_vec(s, d), S.seed_centroids(emb),
                           nprobe=4, k=10)
 
+    def _ivf_topk_trained(s: SparkSession, d: str) -> DataFrame:
+        # the REAL trainer (two Lloyd's rounds from the deterministic
+        # seed) feeding the probe — the oracle unrolls the same two
+        # rounds in SQL, so the trained path is value-gated end-to-end
+        # (r2 VERDICT: the trained model was one notch less verified)
+        emb = _t(s, d, "embeddings")
+        cents = S.train_centroids(emb, n_cells=16, n_iter=2)
+        return S.ivf_topk(emb, _query_vec(s, d), cents, nprobe=4, k=10)
+
     q["ivf_assignments"] = _ivf_assignments
     q["ivf_topk"] = _ivf_topk
+    q["ivf_topk_trained"] = _ivf_topk_trained
 
     # F8/F13 path functions + P1 extension dispatch over a synthesized
     # ingest-manifest path column (object-store listings carry one even
@@ -961,6 +971,92 @@ def oracle_sql() -> dict[str, str]:
 
     o["ivf_assignments"] = _IVF_BASE + """
         SELECT vec_id, CAST(cell AS INT) AS cell FROM assign WHERE rn = 1"""
+
+    # trained-IVF twin: the SAME seed CTE, then train_centroids' two
+    # Lloyd's rounds UNROLLED in SQL — per round: 6dp-rounded cosine
+    # argmax assignment (ties to the smaller cell), per-(cell,dim) mean,
+    # empty cells keeping the previous centroid (LEFT JOIN + coalesce).
+    # An early Spark-side fixpoint break is harmless: at a fixpoint the
+    # extra SQL round reproduces the same centroids by definition.
+    def _lloyd_round(t: int) -> str:
+        p = t - 1
+        return f""",
+        sc{t} AS (
+            SELECT ev.vec_id, cv{p}.cell,
+                   round(sum(v * cv{p}.c)
+                         / (en.enorm * cn{p}.cnorm + 1e-12), 6) AS score
+            FROM ev JOIN cv{p} USING (i)
+            JOIN en ON en.vec_id = ev.vec_id
+            JOIN cn{p} ON cn{p}.cell = cv{p}.cell
+            GROUP BY ev.vec_id, cv{p}.cell, en.enorm, cn{p}.cnorm),
+        as{t} AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+                FROM sc{t}) WHERE rn = 1),
+        m{t} AS (
+            SELECT a.cell, ev.i, avg(ev.v) AS c
+            FROM as{t} a JOIN ev ON ev.vec_id = a.vec_id
+            GROUP BY a.cell, ev.i),
+        cv{t} AS (
+            SELECT cv{p}.cell, cv{p}.i, coalesce(m{t}.c, cv{p}.c) AS c
+            FROM cv{p} LEFT JOIN m{t}
+                 ON m{t}.cell = cv{p}.cell AND m{t}.i = cv{p}.i),
+        cn{t} AS (SELECT cell, sqrt(sum(c * c)) AS cnorm
+                  FROM cv{t} GROUP BY cell)"""
+
+    _IVF_TRAINED_BASE = """
+        WITH cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   embedding AS cvec
+            FROM embeddings ORDER BY vec_id LIMIT 16),
+        cv0 AS (SELECT cell, CAST(unnest(cvec) AS DOUBLE) AS c,
+                       generate_subscripts(cvec, 1) AS i FROM cents),
+        cn0 AS (SELECT cell, sqrt(sum(c * c)) AS cnorm
+                FROM cv0 GROUP BY cell),
+        ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings),
+        en AS (SELECT vec_id, sqrt(sum(v * v)) AS enorm
+               FROM ev GROUP BY vec_id)""" \
+        + _lloyd_round(1) + _lloyd_round(2)
+
+    o["ivf_topk_trained"] = _IVF_TRAINED_BASE + """,
+        sc3 AS (
+            SELECT ev.vec_id, cv2.cell,
+                   round(sum(v * cv2.c)
+                         / (en.enorm * cn2.cnorm + 1e-12), 6) AS score
+            FROM ev JOIN cv2 USING (i)
+            JOIN en ON en.vec_id = ev.vec_id
+            JOIN cn2 ON cn2.cell = cv2.cell
+            GROUP BY ev.vec_id, cv2.cell, en.enorm, cn2.cnorm),
+        as3 AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+                FROM sc3) WHERE rn = 1),
+        q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings WHERE vec_id = 0),
+        qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM q),
+        qsc AS (SELECT cv2.cell,
+                       round(sum(qv * cv2.c)
+                             / (cn2.cnorm * qn.qnorm + 1e-12), 6) AS score
+                FROM cv2 JOIN q USING (i)
+                JOIN cn2 ON cn2.cell = cv2.cell, qn
+                GROUP BY cv2.cell, cn2.cnorm, qn.qnorm),
+        qprobe AS (SELECT cell FROM qsc ORDER BY score DESC, cell LIMIT 4),
+        cand AS (SELECT a.vec_id, a.cell FROM as3 a JOIN qprobe USING (cell)),
+        final AS (
+            SELECT cand.vec_id, cand.cell,
+                   round(sum(v * qv) / (en.enorm * qn.qnorm + 1e-12), 6)
+                       AS cos_sim
+            FROM cand JOIN ev ON ev.vec_id = cand.vec_id
+            JOIN q USING (i)
+            JOIN en ON en.vec_id = cand.vec_id, qn
+            GROUP BY cand.vec_id, cand.cell, en.enorm, qn.qnorm)
+        SELECT vec_id, CAST(cell AS INT) AS cell, cos_sim
+        FROM final ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
     o["ivf_topk"] = _IVF_BASE + """,
         qprobe AS (

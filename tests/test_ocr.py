@@ -496,3 +496,76 @@ def test_ocr_reads_jpeg_render():
     back = decode_jpeg(encode_jpeg(page, quality=95))
     res = ocr_image(back, engine="auto", preprocess=True)
     assert res["text"] == TXT.split("\n")[0]
+
+
+# ---------------------------------------------------------------------------
+# external-engine plug-in seam (r3 — registry contract parity with the
+# reference's engine registry, text_extractor.py:320-355,403-423: a real
+# tesseract/easyocr/paddleocr install must slot in WITHOUT code changes)
+# ---------------------------------------------------------------------------
+
+def test_external_engine_plugs_into_registry(monkeypatch):
+    from advanced_text_extraction_spark.kernels import ocr as K
+
+    calls = []
+
+    def fake_tesseract(img):
+        calls.append(img.shape)
+        return "FAKE ENGINE TEXT", 0.93, [93.0, 92.0]
+
+    monkeypatch.setitem(K.ENGINES, "tesseract", fake_tesseract)
+    med = np.full((200, 400), 255, np.uint8)
+    assert select_engine(med) == "tesseract"  # default route, when present
+
+    monkeypatch.setitem(K.ENGINES, "easyocr",
+                        lambda img: ("EASY", 0.8, [80.0]))
+    small = np.full((50, 60), 255, np.uint8)
+    assert select_engine(small) == "easyocr"  # small-image route
+
+    monkeypatch.setitem(K.ENGINES, "paddleocr",
+                        lambda img: ("PADDLE", 0.9, [90.0]))
+    big = np.full((1200, 1300), 255, np.uint8)
+    assert select_engine(big) == "paddleocr"  # large+complex route
+
+    # auto selection flows the plugged engine's result through ocr_image
+    res = ocr_image(med, engine="auto", preprocess=False)
+    assert res["engine"] == "tesseract"
+    assert res["text"] == "FAKE ENGINE TEXT"
+    assert res["confidence"] == 0.93 and res["token_confs"] == [93.0, 92.0]
+    assert calls, "the plugged engine was never invoked"
+
+    # explicit selection and the unknown-engine error contract
+    assert ocr_image(small, engine="tesseract",
+                     preprocess=False)["text"] == "FAKE ENGINE TEXT"
+    with pytest.raises(ValueError, match="not available"):
+        ocr_image(small, engine="no-such-engine")
+
+
+def test_fallback_arming_routes_to_plugged_engine(monkeypatch):
+    """P3 arming with an explicit engine name must route scanned-PDF
+    pages through the plugged engine — proving a real tesseract would
+    carry the PDF OCR fallback with zero code changes."""
+    from advanced_text_extraction_spark.kernels import ocr as K
+
+    monkeypatch.setattr(extract_mod, "ocr_fallback", None)
+    monkeypatch.setattr(extract_mod, "_armed_engine", None)
+    monkeypatch.setitem(
+        K.ENGINES, "tesseract",
+        lambda img: ("PLUGGED PAGE TEXT", 0.88, [88.0, 87.0]))
+
+    rng = random.Random(11)
+    payload, _expected = gen_scanned_pdf_payload(rng)
+    install_pdf_ocr_fallback(engine="tesseract")
+    rec = extract_mod.extract_one(payload)
+    assert rec["metadata"]["text_layer"] == "ocr"
+    assert "PLUGGED PAGE TEXT" in rec["extracted_text"]
+    assert rec["confidence"] == pytest.approx(0.88)
+
+    # the threshold gate rejects a low-confidence plugged engine and
+    # keeps the short-but-valid text layer, recording the rejection
+    monkeypatch.setitem(K.ENGINES, "tesseract",
+                        lambda img: ("LOW CONF", 0.2, [20.0]))
+    install_pdf_ocr_fallback(engine="tesseract", confidence_threshold=0.5)
+    rec = extract_mod.extract_one(payload)
+    assert rec["metadata"]["text_layer"] == "short"
+    assert "ocr_error" in rec["metadata"]
