@@ -500,7 +500,8 @@ def _cc_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
 
 def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         stats: dict | None = None) -> DataFrame:
     """Connected components over an undirected edge list — (id, component)
     with component = min id in the component. The cluster step that turns
     near-dup candidate PAIRS into duplicate GROUPS (one keeper per group).
@@ -550,8 +551,12 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     def _probe(df: DataFrame):
         return df.agg(_sum_expr).first()[0]
 
+    # ``stats`` (optional): filled with {"rounds": n} — the scale bench
+    # records how many O(log d) rounds a real corpus actually took
     prev_sum = _probe(labels) if integral_ids else None
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         new = _cc_round(sym, labels).localCheckpoint(eager=True)
         if integral_ids:
             new_sum = _probe(new)
@@ -572,11 +577,14 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         labels = new
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("id", "comp")
 
 
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
-                   n_perms: int = 12, rows_per_band: int = 3) -> DataFrame:
+                   n_perms: int = 12, rows_per_band: int = 3,
+                   stats: dict | None = None) -> DataFrame:
     """Duplicate clusters from the full near-dup chain: MinHash → LSH
     band join → candidate pairs → connected components. Output is one
     row per clustered doc — (doc_id, cluster_id) with cluster_id = min
@@ -586,6 +594,6 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
     cluster_id` as the tiny removal list)."""
     pairs = lsh_candidate_pairs(df, id_col, text_col, n_perms,
                                 rows_per_band)
-    return (connected_components(pairs)
+    return (connected_components(pairs, stats=stats)
             .select(F.col("id").alias("doc_id"),
                     F.col("comp").alias("cluster_id")))

@@ -733,6 +733,110 @@ ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
 MULT_SCALING = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_MULT", "1200"))
 
 
+def run_dedup_bench(mult: int = 200, attempts: int = 2) -> dict:
+    """Dedup chain at corpus scale (r2 VERDICT stretch): dedup_clusters
+    (MinHash sketch → LSH band self-join → candidate pairs → connected
+    components) over ``mult`` x the sf documents table — ≥1M docs at the
+    default — recording wall, CC round count, and cluster volume.
+
+    Synth keeps the duplicate structure REALISTIC at scale: replica k
+    applies a BIJECTIVE token renaming (every word prefixed with the
+    replica tag), so within a replica the shingle-similarity structure
+    of the base corpus is preserved EXACTLY (organic near-dups stay
+    near-dups, distinct docs stay distinct) while replicas share no
+    shingles at all — naive verbatim replication would instead put 200
+    copies of each doc in one LSH bucket and fan the band self-join out
+    quadratically (~10^8 rows), benchmarking the synth artifact, not
+    the operator. (An interleaved-salt variant fails more subtly:
+    salt-word-salt shingles collapse onto single words and cross-link
+    every vocabulary-sharing doc — measured 70% of the corpus in one
+    cluster web and 15 CC rounds.) Guaranteed signal: every 997th doc
+    gets one exact twin, so clusters ≈ organic rate + n_docs/997.
+    Per-attempt minimum + interference probes, as in headline mode."""
+    from advanced_text_extraction_spark.operators.dedup import dedup_clusters
+    from advanced_text_extraction_spark.sources.session import build_session
+
+    spark = build_session(app_name="ate-dedup-bench",
+                          master=f"local[{CPUS}]")
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+            .select("doc_id", "text")
+        reps = spark.range(mult).withColumnRenamed("id", "k")
+        from pyspark.sql import functions as F
+        tag = F.concat(F.lit("r"), F.col("k").cast("string"), F.lit("$1"))
+        big = docs.crossJoin(reps).select(
+            (F.col("doc_id") * mult + F.col("k")).alias("doc_id"),
+            F.regexp_replace(F.col("text"), F.lit(r"(\S+)"), tag)
+            .alias("text"))
+        twins = big.filter(F.col("doc_id") % 997 == 0).select(
+            (F.col("doc_id") + F.lit(1) * 10**12).alias("doc_id"), "text")
+        corpus = big.unionByName(twins) \
+            .repartition(CPUS * 4).persist()
+        n_docs = corpus.count()
+        n_twins = twins.count()
+        print(f"corpus: {n_docs} docs ({n_twins} exact twins)",
+              file=sys.stderr)
+
+        best = None
+        for attempt in range(attempts):
+            cal = _calibrate(24)
+            stats: dict = {}
+            t0 = time.time()
+            out = dedup_clusters(corpus, "doc_id", "text", stats=stats)
+            n_rows = out.count()
+            n_clusters = out.select("cluster_id").distinct().count()
+            wall = round(time.time() - t0, 1)
+            rec = {"wall_sec": wall, "cc_rounds": stats.get("rounds"),
+                   "clustered_docs": n_rows, "clusters": n_clusters,
+                   "docs_per_sec": round(n_docs / wall, 1),
+                   "host_cal_miters_24p": cal}
+            print(f"  attempt {attempt}: {rec}", file=sys.stderr)
+            if best is None or wall < best["wall_sec"]:
+                best = rec
+    finally:
+        spark.stop()
+    result = {"metric": "dedup_clusters_1m_wall_sec",
+              "value": best["wall_sec"], "unit": "sec",
+              "docs": n_docs, "twins": n_twins, "attempts": attempts,
+              **best}
+    with open(os.path.join(REPO, "BENCH", "last_dedup.json"), "w") as f:
+        json.dump(result, f)
+    p = os.path.join(REPO, "BENCH", "BASELINE.md")
+    head = ""
+    if os.path.exists(p):
+        head = open(p).read()
+        cut = head.find("## Dedup chain at corpus scale")
+        if cut != -1:
+            head = head[:cut].rstrip() + "\n\n"
+        else:
+            head = head.rstrip() + "\n\n"
+    with open(p, "w") as f:
+        f.write(head + "\n".join([
+            "## Dedup chain at corpus scale (T1-T4 stretch evidence)",
+            "",
+            f"`python bench.py --dedup-bench` — dedup_clusters (MinHash",
+            f"sketch → LSH band self-join → pairs → connected components)",
+            f"over {result['docs']} synthesized docs ({result['twins']}",
+            "exact twins; replica-token rewrite keeps cross-replica text",
+            "disjoint so bucket sizes stay realistic — see bench.py).",
+            f"Best of {attempts} attempts on local[{CPUS}]:",
+            "",
+            f"- wall {result['wall_sec']} s "
+            f"({result['docs_per_sec']} docs/s end-to-end)",
+            f"- connected components converged in {result['cc_rounds']}"
+            f" round(s); {result['clustered_docs']} clustered docs in"
+            f" {result['clusters']} clusters",
+            f"- busy-loop marker at best attempt: "
+            f"{result['host_cal_miters_24p']} (quiet ≈ 420-550)",
+            "",
+            f"Generated on "
+            f"{time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}.",
+            "",
+        ]))
+    print(f"wrote dedup section to {p}", file=sys.stderr)
+    return result
+
+
 def run_skew_probe(mult: int = 400, attempts: int = 4) -> dict:
     """BASELINE.md skew-resilience evidence: identical job, pinned
     local[16], on a uniform vs a skewed (one conv ≈ 20% of turns) input
@@ -835,6 +939,8 @@ def main() -> int:
         write_bench_md(out)
     elif "--skew-probe" in sys.argv:
         out = run_skew_probe()
+    elif "--dedup-bench" in sys.argv:
+        out = run_dedup_bench()
     else:
         out = run_headline()
     print(json.dumps(out))

@@ -37,6 +37,19 @@ def test_converges_within_log_iterations(spark):
     assert set(comp.values()) == {0}
 
 
+def test_round_count_reported_via_stats_hook(spark):
+    # the scale bench records how many O(log d) rounds a corpus took;
+    # a 2-node pair converges immediately (round 1 changes labels,
+    # round 2 is the fixpoint probe), a 32-node path needs ~log2 rounds
+    stats: dict = {}
+    _components(spark, [(0, 1)], stats=stats)
+    assert stats["rounds"] == 2
+    stats = {}
+    _components(spark, [(i, i + 1) for i in range(31)],
+                max_iter=10, stats=stats)
+    assert 3 <= stats["rounds"] <= 7
+
+
 def test_dedup_clusters_groups_near_identical_docs(spark):
     base = ("the quick brown fox jumps over the lazy dog and then "
             "runs far away into the deep green forest tonight")
