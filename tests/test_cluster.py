@@ -152,3 +152,47 @@ def test_simhash_sketch_width_tiers_consistent(spark):
             simhash_neardup_pairs(df, "doc_id", "text",
                                   n_bits=60, band_bits=15).collect()}
     assert wide[(0, 1)] == 0
+
+
+def test_caller_owned_sketch_lifecycle(spark):
+    """r2 ADVICE: two concurrent near-dup plans must not evict each
+    other's cache barrier — callers can pass a persisted sketch/band
+    table and own its lifecycle; results match the default path and no
+    module-global slot is touched."""
+    from pyspark.storagelevel import StorageLevel
+
+    from advanced_text_extraction_spark.operators import dedup as D
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "the quick brown fox jumps over the lazy dog near the river",
+        "completely different words about spark shuffles and parquet",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+
+    # simhash: caller-owned sketch
+    sk = D.simhash_sketch(df, "doc_id", "text", n_bits=32) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sk.count()
+    before = D._last_simhashes
+    owned = {(r["id_a"], r["id_b"]) for r in D.simhash_neardup_pairs(
+        df, "doc_id", "text", sketch=sk).collect()}
+    assert D._last_simhashes is before  # global slot untouched
+    default = {(r["id_a"], r["id_b"]) for r in D.simhash_neardup_pairs(
+        df, "doc_id", "text").collect()}
+    assert owned == default == {(0, 1)}
+    sk.unpersist()
+
+    # LSH: caller-owned band keys
+    keys = D.lsh_band_keys(df, "doc_id", "text") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    keys.count()
+    before = D._last_band_keys
+    owned = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(
+        df, "doc_id", "text", band_keys=keys).collect()}
+    assert D._last_band_keys is before
+    default = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(
+        df, "doc_id", "text").collect()}
+    assert owned == default == {(0, 1)}
+    keys.unpersist()
