@@ -299,6 +299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _spread(_t(s, d, "documents")), "doc_id", "text")
     q["lang_id_sql"] = lambda s, d: TS.lang_id_sql(
         _spread(_t(s, d, "documents")), "doc_id", "text")
+    # engine-internal pandas-UDF tier, hash-gated against the SAME oracle
+    # as the SQL tier — evidences the two tiers label prose identically
+    q["lang_id_kernel"] = lambda s, d: TS.lang_id_kernel(
+        _spread(_t(s, d, "documents")), "doc_id", "text")
     q["winnow_fingerprints"] = lambda s, d: TS.winnow_fingerprints(
         _spread(_t(s, d, "documents")), "doc_id", "text")
 
@@ -1197,6 +1201,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents),
         g AS (SELECT *, {best} AS best FROM h)
         SELECT doc_id, {pred} AS lang_pred FROM g"""
+    # the kernel tier follows the same SPEC §5 scoring rule; on prose the
+    # tiers agree exactly (divergence needs stopwords butted against
+    # digits/underscores — see lang_id_sql docstring), so one oracle
+    # gates both
+    o["lang_id_kernel"] = o["lang_id_sql"]
 
     o["winnow_fingerprints"] = """
         WITH grams AS (

@@ -11,6 +11,8 @@ to the driver's DuckDB oracle gate.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -106,6 +108,28 @@ def lang_id_sql(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (F.col(f"hits_{lang}") == best_hits) & (best_hits >= 2), lang
         ).otherwise(pred)
     return out.withColumn("lang_pred", pred).select(id_col, "lang_pred")
+
+
+def lang_id_kernel(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The engine-internal language-id tier (kernels/lang.py
+    ``detect_language`` — the same function the extraction pipeline
+    stamps ``language`` with) surfaced as a standalone operator so the
+    driver's DuckDB oracle can hash-gate it directly against the SQL
+    tier's query. Arrow-batched scalar pandas UDF: map-only, zero
+    shuffles; per-row Python is the point here (this tier exists for
+    callers embedding language id inside a kernel that is already in
+    Python), corpora doing ONLY language id should prefer the codegen'd
+    ``lang_id_sql``. Same output contract: (id, lang_pred)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernels.lang import detect_language
+
+    @pandas_udf("string")
+    def _detect(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(detect_language)
+
+    return df.select(F.col(id_col),
+                     _detect(F.col(text_col)).alias("lang_pred"))
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,

@@ -274,3 +274,32 @@ def test_train_centroids_improves_and_converges(spark):
     # trained centroids drop into the probe path unchanged
     got = S.ivf_topk(df, [1.0] * 8, trained, nprobe=1, k=3).collect()
     assert len(got) == 3 and all(r["vec_id"] % 2 == 0 for r in got)
+
+
+def test_lang_id_kernel_matches_sql_tier_on_prose(spark):
+    """The pandas-UDF tier (kernels/lang.py via lang_id_kernel) and the
+    codegen'd SQL tier must label prose identically — the driver gates
+    both against ONE oracle, so tier drift would break the hash gate."""
+    from advanced_text_extraction_spark.operators import textstats as TS
+
+    texts = [
+        "the cat and the dog is here with you",
+        "el perro y los gatos por la casa como siempre",
+        "le chat est dans la maison avec vous et nous",
+        "der hund ist nicht auf dem tisch und auch nicht",
+        "これは日本語のテキストです、漢字も仮名も含む",
+        "这是一个中文文本的例子没有任何假名",
+        "Это русский текст с кириллицей",
+        "",
+        None,
+        "lorem ipsum dolor sit amet",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    kern = {r["doc_id"]: r["lang_pred"]
+            for r in TS.lang_id_kernel(df, "doc_id", "text").collect()}
+    sql = {r["doc_id"]: r["lang_pred"]
+           for r in TS.lang_id_sql(df, "doc_id", "text").collect()}
+    assert kern == sql
+    assert kern[0] == "en" and kern[4] == "ja" and kern[5] == "zh"
+    assert kern[7] == kern[8] == kern[9] == "unknown"
