@@ -191,6 +191,33 @@ def main() -> int:
         sections += [f"## {name}", "", why, "", "```",
                      formatted(qs[name](spark, args.sf_dir)), "```", ""]
 
+    # _spread() gating evidence (VERDICT r2 #2): the round-robin exchange
+    # the driver queries apply is CONDITIONAL on the scan
+    # under-parallelizing. The sandbox tables are single-row-group parquet
+    # (one scan task) so plans above show RoundRobinPartitioning; on a
+    # production-shaped table (normal file-level parallelism) the guard
+    # must make it a no-op. Demonstrate with the same query over a
+    # multi-file copy of the same rows.
+    with tempfile.TemporaryDirectory(prefix="ate_plans_mrg_") as td:
+        docs = spark.read.parquet(
+            os.path.join(args.sf_dir, "documents.parquet"))
+        multi = os.path.join(td, "documents.parquet")
+        docs.repartition(8).write.parquet(multi)
+        plan = formatted(qs["minhash_signatures"](spark, td))
+        verdict = ("NO round-robin exchange — guard is a no-op, kernel "
+                   "parallelism comes from the scan itself"
+                   if "RoundRobinPartitioning" not in plan
+                   else "UNEXPECTED RoundRobinPartitioning — guard broken")
+        sections += [
+            "## _spread() gating — production-shaped (multi-file) input",
+            "",
+            "minhash_signatures over the SAME rows written as 8 parquet "
+            "files instead of the sandbox's single row group. Check: "
+            f"{verdict}.",
+            "",
+            "```", plan, "```", "",
+        ]
+
     # dedup_clusters is driver-iterative (O(log diameter) rounds), so the
     # final DataFrame's explain shows only checkpointed scans — audit ONE
     # round's plan instead, via the same _cc_round the production loop runs.
