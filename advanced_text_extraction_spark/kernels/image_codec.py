@@ -354,10 +354,13 @@ def encode_png_gray(arr: np.ndarray, filter_type: int = 0) -> bytes:
 # /root/reference/text_extractor.py:887-903; ext list :771). Decoder
 # handles baseline sequential (SOF0) with 8-bit samples, 1 or 3
 # components, any sampling factors 1-2 (4:4:4/4:2:2/4:2:0), restart
-# markers, multiple DQT/DHT segments. Progressive (SOF2) / arithmetic /
-# 12-bit route to the import-guarded real-codec hook as before.
+# markers, multiple DQT/DHT segments — and progressive (SOF2: spectral
+# selection + successive approximation, DC/AC first and refinement
+# scans, EOBn runs, per-scan DHT redefinition). Arithmetic / 12-bit /
+# hierarchical route to the import-guarded real-codec hook.
 # Encoder (fixture/synth side) writes baseline gray or YCbCr at 4:4:4
-# or 4:2:0 with the Annex K tables, optional restart interval.
+# or 4:2:0 with the Annex K tables, optional restart interval — or a
+# progressive scan script (for exercising the progressive decoder).
 
 class _UnsupportedJpeg(ImageError):
     """Valid JPEG, but beyond the baseline-sequential feature set —
@@ -509,28 +512,42 @@ def _extend(v: int, t: int) -> int:
 
 
 def _jpeg_segments(buf: bytes):
-    """Yield (marker, payload, next_offset); stops before SOS payload."""
+    """Yield (marker, payload, extra): for an SOS marker ``extra`` is the
+    scan's destuffed entropy segments (split at restart markers) and the
+    walk continues at the next marker — multi-scan streams (progressive)
+    yield every scan; for all other markers ``extra`` is the next
+    offset."""
     if buf[:2] != b"\xff\xd8":
         raise ImageError("not a JPEG payload")
     i = 2
-    while i + 4 <= len(buf):
+    while i + 2 <= len(buf):
         if buf[i] != 0xFF:
             raise ImageError("JPEG marker sync lost")
+        if buf[i + 1] == 0xFF:  # fill byte (T.81 B.1.1.2)
+            i += 1
+            continue
         marker = buf[i + 1]
         if marker == 0xD9:  # EOI
             return
+        if i + 4 > len(buf):
+            break
         (length,) = struct.unpack_from(">H", buf, i + 2)
         payload = buf[i + 4:i + 2 + length]
-        yield marker, payload, i + 2 + length
-        if marker == 0xDA:  # SOS — entropy data follows, stop here
-            return
-        i += 2 + length
+        if marker == 0xDA:  # SOS — entropy data follows
+            segs, end = _split_entropy(buf, i + 2 + length)
+            yield marker, payload, segs
+            i = end
+        else:
+            yield marker, payload, i + 2 + length
+            i += 2 + length
     raise ImageError("truncated JPEG stream")
 
 
-def _split_entropy(buf: bytes, start: int) -> list[bytes]:
+def _split_entropy(buf: bytes, start: int) -> tuple[list[bytes], int]:
     """Entropy-coded segments between restart markers, destuffed
-    (FF00 → FF); scan ends at any non-RST marker (normally EOI)."""
+    (FF00 → FF); scan ends at any non-RST marker (normally EOI).
+    Returns (segments, end_offset) with end_offset at the 0xFF of the
+    terminating marker."""
     segs: list[bytes] = []
     cur = bytearray()
     i = start
@@ -552,23 +569,199 @@ def _split_entropy(buf: bytes, start: int) -> list[bytes]:
         else:  # EOI or next real marker
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, min(i, n)
+
+
+def _decode_block_seq(reader: "_BitReader", zz: np.ndarray, preds: dict,
+                      c: dict) -> None:
+    """Baseline-sequential block decode: DC diff + AC runs (T.81 F.2)."""
+    t = reader.huff(c["dc"])
+    preds[c["id"]] += _extend(reader.take(t), t)
+    zz[0] = preds[c["id"]]
+    k = 1
+    while k < 64:
+        rs = reader.huff(c["ac"])
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ImageError("JPEG AC run overflows block")
+        zz[k] = _extend(reader.take(s), s)
+        k += 1
+
+
+def _ac_first(reader: "_BitReader", block: np.ndarray, ss: int, se: int,
+              al: int, actab: dict, eobrun: int) -> int:
+    """Progressive AC first scan, one block (T.81 G.2 / libjpeg
+    decode_mcu_AC_first). ``block`` is the zigzag-ordered coefficient
+    vector; returns the updated end-of-band run count."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.huff(actab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.take(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ImageError("JPEG AC run overflows band")
+        block[k] = _extend(reader.take(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(reader: "_BitReader", block: np.ndarray, ss: int, se: int,
+               al: int, actab: dict, eobrun: int) -> int:
+    """Progressive AC refinement scan, one block (T.81 G.2 / libjpeg
+    decode_mcu_AC_refine): correction bits for already-nonzero
+    coefficients, ±(1<<al) insertions for newly-nonzero ones."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k: int) -> None:
+        if reader.bit() and (int(block[k]) & p1) == 0:
+            block[k] += p1 if block[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.huff(actab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ImageError("bad JPEG AC refinement magnitude")
+                val = p1 if reader.bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.take(r)
+                break
+            # advance over r zero-history coefficients, applying
+            # correction bits to nonzero-history ones along the way
+            while k <= se:
+                if block[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # end-of-band: corrections only
+            if block[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_prog(segs: list[bytes], scan: list[tuple], geom: tuple,
+                      ss: int, se: int, ah: int, al: int,
+                      restart_interval: int, w: int, h: int) -> None:
+    """One progressive scan over the persistent coefficient arrays.
+    ``scan`` is [(comp, dctab, actab)]; interleaved (>1 component) scans
+    walk MCU order, single-component scans walk that component's block
+    raster at its own resolution (no MCU padding — T.81 A.2.2)."""
+    hmax, vmax, mcus_x, mcus_y = geom
+    if ss == 0:
+        if se != 0:
+            raise ImageError("progressive JPEG scan mixes DC and AC")
+        if ah == 0 and any(t[1] is None for t in scan):
+            raise ImageError("JPEG DC scan references missing DHT")
+    else:
+        if len(scan) > 1:
+            raise ImageError("progressive JPEG AC scan with >1 component")
+        if not (ss <= se <= 63):
+            raise ImageError("bad JPEG spectral band")
+        if scan[0][2] is None:
+            raise ImageError("JPEG AC scan references missing DHT")
+
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = mcus_x * mcus_y
+    else:
+        c = scan[0][0]
+        comp_w = -((-w * c["h"]) // hmax)  # ceil(w*h_i/hmax), T.81 A.1.1
+        comp_h = -((-h * c["v"]) // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        units = bw * bh
+
+    reader = _BitReader(segs[0])
+    seg_idx = 0
+    preds = {t[0]["id"]: 0 for t in scan}
+    eobrun = 0
+    for m in range(units):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ImageError("JPEG missing restart segment")
+            reader = _BitReader(segs[seg_idx])
+            preds = {t[0]["id"]: 0 for t in scan}
+            eobrun = 0
+        if interleaved:  # DC scan over MCUs
+            my, mx = divmod(m, mcus_x)
+            for c, dctab, _ in scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        block = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
+                        if ah == 0:
+                            t = reader.huff(dctab)
+                            preds[c["id"]] += _extend(reader.take(t), t)
+                            block[0] = preds[c["id"]] << al
+                        elif reader.bit():
+                            block[0] = int(block[0]) | (1 << al)
+        else:
+            c, dctab, actab = scan[0]
+            my, mx = divmod(m, bw)
+            block = c["coef"][my, mx]
+            if ss == 0:
+                if ah == 0:
+                    if dctab is None:
+                        raise ImageError("JPEG DC scan references "
+                                         "missing DHT")
+                    t = reader.huff(dctab)
+                    preds[c["id"]] += _extend(reader.take(t), t)
+                    block[0] = preds[c["id"]] << al
+                elif reader.bit():
+                    block[0] = int(block[0]) | (1 << al)
+            elif ah == 0:
+                eobrun = _ac_first(reader, block, ss, se, al, actab, eobrun)
+            else:
+                eobrun = _ac_refine(reader, block, ss, se, al, actab, eobrun)
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline sequential JPEG → gray ``(h, w)`` or RGB ``(h, w, 3)``.
-    Raises :class:`_UnsupportedJpeg` for progressive/arithmetic/12-bit
-    streams (dispatch falls through to the real-codec hook)."""
+    """Baseline-sequential AND progressive (SOF2, successive
+    approximation + spectral selection) JPEG → gray ``(h, w)`` or RGB
+    ``(h, w, 3)``. Raises :class:`_UnsupportedJpeg` for
+    arithmetic/12-bit/hierarchical streams (dispatch falls through to
+    the real-codec hook)."""
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → table
     comps: list[dict] = []
     w = h = 0
+    progressive = False
     restart_interval = 0
-    scan_comps: list[dict] = []
-    sos_end = None
+    geom = None
+    n_scans = 0
 
-    for marker, payload, nxt in _jpeg_segments(buf):
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    for marker, payload, extra in _jpeg_segments(buf):
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise _UnsupportedJpeg(
                 f"non-baseline JPEG (SOF marker 0x{marker:02x})")
@@ -597,7 +790,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(payload[j + 17:j + 17 + nv])
                 huff[(tc, th)] = _canonical_codes(bits, vals)
                 j += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if comps:
+                raise ImageError("duplicate JPEG SOF")
+            progressive = marker == 0xC2
             if len(payload) < 6:
                 raise ImageError("truncated JPEG SOF")
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
@@ -611,81 +807,83 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, samp, tq = struct.unpack_from(">BBB", payload, 6 + 3 * k)
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F,
                               "tq": tq})
+            if w <= 0 or h <= 0 or w * h > (1 << 28):
+                raise ImageError(f"bad JPEG dimensions {w}x{h}")
+            for c in comps:
+                if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+                    raise _UnsupportedJpeg(
+                        f"JPEG sampling {c['h']}x{c['v']} out of the "
+                        "1-2 range")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                c["coef"] = np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+            geom = (hmax, vmax, mcus_x, mcus_y)
         elif marker == 0xDD:  # DRI
             if len(payload) < 2:
                 raise ImageError("truncated JPEG DRI")
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
-        elif marker == 0xDA:  # SOS
-            if not payload or len(payload) < 1 + 2 * payload[0]:
+        elif marker == 0xDA:  # SOS (one per scan; several if progressive)
+            if not payload or len(payload) < 1 + 2 * payload[0] + 3:
                 raise ImageError("truncated JPEG SOS")
+            if geom is None:
+                raise ImageError("JPEG SOS before SOF")
             ns = payload[0]
+            scan: list[tuple] = []
             for k in range(ns):
                 cs, tt = payload[1 + 2 * k], payload[2 + 2 * k]
                 comp = next((c for c in comps if c["id"] == cs), None)
                 if comp is None:
                     raise ImageError("JPEG scan references unknown component")
-                comp["dc"] = huff.get((0, tt >> 4))
-                comp["ac"] = huff.get((1, tt & 0x0F))
-                if comp["dc"] is None or comp["ac"] is None:
+                scan.append((comp, huff.get((0, tt >> 4)),
+                             huff.get((1, tt & 0x0F))))
+            ss, se, ahal = payload[1 + 2 * ns:1 + 2 * ns + 3]
+            ah, al = ahal >> 4, ahal & 0x0F
+            n_scans += 1
+            segs = extra  # destuffed entropy segments from _jpeg_segments
+            if progressive:
+                _decode_scan_prog(segs, scan, geom, ss, se, ah, al,
+                                  restart_interval, w, h)
+                continue
+            # ---- baseline sequential: exactly one full-spectrum scan ----
+            if n_scans > 1 or len(scan) != len(comps):
+                raise _UnsupportedJpeg("multi-scan sequential JPEG")
+            if (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ImageError("bad baseline JPEG scan header")
+            for comp, dctab, actab in scan:
+                if dctab is None or actab is None:
                     raise ImageError("JPEG scan references missing DHT")
-                scan_comps.append(comp)
-            sos_end = nxt
-    if sos_end is None or not comps:
+                comp["dc"], comp["ac"] = dctab, actab
+            hmax, vmax, mcus_x, mcus_y = geom
+            reader = _BitReader(segs[0])
+            seg_idx = 0
+            preds = {c["id"]: 0 for c in comps}
+            for m in range(mcus_x * mcus_y):
+                if restart_interval and m and m % restart_interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segs):
+                        raise ImageError("JPEG missing restart segment")
+                    reader = _BitReader(segs[seg_idx])
+                    preds = {c["id"]: 0 for c in comps}
+                my, mx = divmod(m, mcus_x)
+                for c, _, _ in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            _decode_block_seq(
+                                reader,
+                                c["coef"][my * c["v"] + by, mx * c["h"] + bx],
+                                preds, c)
+
+    if n_scans == 0 or not comps:
         raise ImageError("JPEG missing SOF/SOS")
-    if len(scan_comps) != len(comps):
-        raise _UnsupportedJpeg("multi-scan JPEG")
-    if w <= 0 or h <= 0 or w * h > (1 << 28):
-        raise ImageError(f"bad JPEG dimensions {w}x{h}")
     for c in comps:
-        if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
-            raise _UnsupportedJpeg(
-                f"JPEG sampling {c['h']}x{c['v']} out of the 1-2 range")
         if c["tq"] not in quant:
             raise ImageError("JPEG component references missing DQT")
-
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
-    for c in comps:
-        c["coef"] = np.zeros(
-            (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
-
-    segs = _split_entropy(buf, sos_end)
-    seg_idx = 0
-    reader = _BitReader(segs[0])
-    preds = {c["id"]: 0 for c in comps}
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segs):
-                raise ImageError("JPEG missing restart segment")
-            reader = _BitReader(segs[seg_idx])
-            preds = {c["id"]: 0 for c in comps}
-        my, mx = divmod(m, mcus_x)
-        for c in scan_comps:
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz = np.zeros(64, dtype=np.int64)
-                    t = reader.huff(c["dc"])
-                    preds[c["id"]] += _extend(reader.take(t), t)
-                    zz[0] = preds[c["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = reader.huff(c["ac"])
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ImageError("JPEG AC run overflows block")
-                        zz[k] = _extend(reader.take(s), s)
-                        k += 1
-                    c["coef"][my * c["v"] + by, mx * c["h"] + bx] = zz
 
     planes = []
     for c in comps:
@@ -790,6 +988,147 @@ def _encode_block(wr: _BitWriter, zz: np.ndarray, pred: int,
     return int(zz[0])
 
 
+def _build_dht(symbols) -> tuple[list[int], list[int]]:
+    """Minimal valid canonical table: every used symbol at one fixed
+    code length (progressive scans need EOBn symbols the Annex K tables
+    lack — libjpeg likewise emits custom tables for progressive). Length
+    is the smallest L with len(symbols) < 2^L - 1, keeping the all-ones
+    code unused (T.81 C.2)."""
+    syms = sorted(set(symbols))
+    if not syms:
+        syms = [0x00]  # degenerate scan: emit a 1-symbol table
+    length = 8
+    while len(syms) >= (1 << length) - 1:
+        length += 1
+    if length > 16:
+        raise ImageError("JPEG Huffman table overflow")
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    return bits, syms
+
+
+def _write_tokens(wr: _BitWriter, toks: list[tuple],
+                  tab: dict[int, tuple]) -> None:
+    for t in toks:
+        if t[0] == "s":
+            code, ln = tab[t[1]]
+            wr.put(code, ln)
+        else:
+            wr.put(t[1], t[2])
+
+
+def _ac_first_tokens(blocks2d: np.ndarray, bw: int, bh: int,
+                     ss: int, se: int, al: int) -> list[tuple]:
+    """Progressive AC first-scan entropy tokens for one component's
+    block raster: run/size symbols over the point-transformed band with
+    accumulated EOBn runs (T.81 G.1.2.2 / libjpeg encode_mcu_AC_first).
+    Tokens: ("s", symbol) / ("b", value, nbits)."""
+    toks: list[tuple] = []
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            toks.append(("s", n << 4))
+            if n:
+                toks.append(("b", eobrun - (1 << n), n))
+            eobrun = 0
+
+    for idx in range(bw * bh):
+        my, mx = divmod(idx, bw)
+        zz = blocks2d[my, mx]
+        vals = [int(zz[k]) for k in range(ss, se + 1)]
+        mags = [abs(v) >> al for v in vals]
+        last = max((i for i, m in enumerate(mags) if m), default=-1)
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for i in range(last + 1):
+            m = mags[i]
+            if m == 0:
+                r += 1
+                continue
+            while r > 15:
+                toks.append(("s", 0xF0))  # ZRL
+                r -= 16
+            s = m.bit_length()
+            v = m if vals[i] >= 0 else -m
+            toks.append(("s", (r << 4) | s))
+            toks.append(("b", v if v >= 0 else v + (1 << s) - 1, s))
+            r = 0
+        if last < se - ss:
+            eobrun += 1
+    flush_eob()
+    return toks
+
+
+def _ac_refine_tokens(blocks2d: np.ndarray, bw: int, bh: int,
+                      ss: int, se: int, al: int) -> list[tuple]:
+    """Progressive AC refinement entropy tokens (T.81 G.1.2.3 / libjpeg
+    encode_mcu_AC_refine): newly-nonzero coefficients as run/1 symbols
+    with a sign bit, correction bits for already-nonzero ones buffered
+    behind the next symbol or EOBn run."""
+    toks: list[tuple] = []
+    eobrun = 0
+    pend: list[int] = []  # correction bits riding on the open EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pend
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            toks.append(("s", n << 4))
+            if n:
+                toks.append(("b", eobrun - (1 << n), n))
+            toks.extend(("b", b, 1) for b in pend)
+            eobrun = 0
+            pend = []
+
+    for idx in range(bw * bh):
+        my, mx = divmod(idx, bw)
+        zz = blocks2d[my, mx]
+        vals = [int(zz[k]) for k in range(ss, se + 1)]
+        mags = [abs(v) >> al for v in vals]
+        r = 0
+        br: list[int] = []  # correction bits since the last symbol
+        for i, m in enumerate(mags):
+            if m == 0:
+                r += 1
+                continue
+            # ZRLs are emitted at EVERY nonzero coefficient (history or
+            # new) BEFORE buffering its correction bit — the decoder
+            # reads correction bits in position order during each
+            # symbol's advance, so bits must ride the first symbol whose
+            # span crosses their position (libjpeg encode_mcu_AC_refine)
+            while r > 15:
+                flush_eob()
+                toks.append(("s", 0xF0))
+                r -= 16
+                toks.extend(("b", b, 1) for b in br)
+                br = []
+            if m > 1:  # nonzero history — correction bit, r unaffected
+                br.append(m & 1)
+                continue
+            # newly nonzero (magnitude reaches 1 at this precision)
+            flush_eob()
+            toks.append(("s", (r << 4) | 1))
+            toks.append(("b", 1 if vals[i] >= 0 else 0, 1))
+            toks.extend(("b", b, 1) for b in br)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pend.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return toks
+
+
 def _comp_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     """Plane (multiple-of-8 dims) → zigzagged quantized blocks
     (by, bx, 64)."""
@@ -809,11 +1148,103 @@ def _pad_edge(a: np.ndarray, mult: int) -> np.ndarray:
     return np.pad(a, ((0, ph), (0, pw)), mode="edge") if ph or pw else a
 
 
+def _emit_progressive_scans(out: bytearray, seg, dht, blocks, planes,
+                            gray: bool, w: int, h: int, hmax: int,
+                            vmax: int, mcus_x: int, mcus_y: int) -> None:
+    """The SOF2 scan script: DC first (interleaved, Al=1) → AC first per
+    component (band 1..63, Al=1, custom DHT with EOBn symbols) → DC
+    refinement (raw bits) → AC refinement per component. Successive
+    approximation is fully refined, so decoding reproduces exactly the
+    baseline coefficients."""
+    nf = 1 if gray else 3
+    samps = [(p[2], p[3]) for p in planes]
+    dc_tabs = [_encode_codes(*_HUFF_DC_LUMA)] + \
+        [_encode_codes(*_HUFF_DC_CHROMA)] * (nf - 1)
+
+    def sos(ids_tabs, ss, se, ah, al):
+        p = bytes([len(ids_tabs)])
+        for cid, td, ta in ids_tabs:
+            p += bytes([cid, (td << 4) | ta])
+        seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    def mcu_blocks():
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for ci in range(nf):
+                hs, vs = samps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        yield ci, blocks[ci][my * vs + by, mx * hs + bx]
+
+    def comp_bdims(ci):
+        hs, vs = samps[ci]
+        comp_w = -((-w * hs) // hmax)  # ceil, T.81 A.1.1
+        comp_h = -((-h * vs) // vmax)
+        return -(-comp_w // 8), -(-comp_h // 8)
+
+    dht(0, 0, _HUFF_DC_LUMA)
+    if not gray:
+        dht(0, 1, _HUFF_DC_CHROMA)
+
+    # scan 1: DC first, interleaved, point transform Al=1
+    sos([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nf)], 0, 0, 0, 1)
+    wr = _BitWriter()
+    preds = [0] * nf
+    for ci, zz in mcu_blocks():
+        dc = int(zz[0]) >> 1  # arithmetic shift, as the decoder rebuilds
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        t = _category(diff)
+        code, ln = dc_tabs[ci][t]
+        wr.put(code, ln)
+        if t:
+            wr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    wr.flush()
+    out.extend(wr.out)
+
+    def ac_scan(ci: int, tokens_fn, ss: int, se: int,
+                ah: int, al: int) -> None:
+        bw, bh = comp_bdims(ci)
+        toks = tokens_fn(blocks[ci], bw, bh, ss, se, al)
+        spec = _build_dht([t[1] for t in toks if t[0] == "s"])
+        dht(1, 0, spec)  # redefine AC table 0 for every scan
+        sos([(ci + 1, 0, 0)], ss, se, ah, al)
+        wr = _BitWriter()
+        _write_tokens(wr, toks, _encode_codes(*spec))
+        wr.flush()
+        out.extend(wr.out)
+
+    # luma AC is split into two spectral bands (libjpeg's default script
+    # shape) so ss>1 scans and per-band EOB runs are exercised
+    bands = [[(1, 5), (6, 63)]] + [[(1, 63)]] * (nf - 1)
+    for ci in range(nf):  # scans 2..: AC first per component
+        for ss, se in bands[ci]:
+            ac_scan(ci, _ac_first_tokens, ss, se, 0, 1)
+
+    # DC refinement: one raw bit per block, interleaved, no Huffman
+    sos([(ci + 1, 0, 0) for ci in range(nf)], 0, 0, 1, 0)
+    wr = _BitWriter()
+    for _, zz in mcu_blocks():
+        wr.put(int(zz[0]) & 1, 1)
+    wr.flush()
+    out.extend(wr.out)
+
+    for ci in range(nf):  # final scans: AC refinement per component
+        for ss, se in bands[ci]:
+            ac_scan(ci, _ac_refine_tokens, ss, se, 1, 0)
+
+
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
                 subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """Baseline JPEG encoder: gray ``(h, w)`` or RGB ``(h, w, 3)``;
-    ``subsample=True`` writes 4:2:0 chroma, else 4:4:4; optional DRI."""
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """JPEG encoder: gray ``(h, w)`` or RGB ``(h, w, 3)``;
+    ``subsample=True`` writes 4:2:0 chroma, else 4:4:4; optional DRI
+    (baseline only). ``progressive=True`` writes SOF2 with a
+    libjpeg-style scan script — DC first (Al=1), per-component AC first
+    (1..63, Al=1), DC refinement, per-component AC refinement — so the
+    coefficient stream is bit-identical to the baseline encoding after
+    all scans (same blocks, successive approximation fully refined)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] not in (1, 3):
@@ -876,11 +1307,21 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     sof += bytes([1, (planes[0][2] << 4) | planes[0][3], 0])
     if not gray:
         sof += bytes([2, 0x11, 1, 3, 0x11, 1])
-    seg(0xC0, sof)
+    seg(0xC2 if progressive else 0xC0, sof)
 
     def dht(tc: int, th: int, spec: tuple) -> None:
         bits, vals = spec
         seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    if progressive:
+        if restart_interval:
+            raise ImageError(
+                "progressive encoder does not emit restart markers")
+        _emit_progressive_scans(
+            out, seg, dht, blocks, planes, gray, w, h,
+            hmax, vmax, mcus_x, mcus_y)
+        out.extend(b"\xff\xd9")  # EOI
+        return bytes(out)
 
     dht(0, 0, _HUFF_DC_LUMA)
     dht(1, 0, _HUFF_AC_LUMA)
@@ -930,9 +1371,10 @@ def _decode_real(buf: bytes) -> np.ndarray:  # pragma: no cover - no libs here
         import cv2
     except ImportError as exc:
         raise NotImplementedError(
-            "non-baseline JPEG variants (progressive/arithmetic/12-bit) "
-            "need cv2/PIL, not installed in this environment — baseline "
-            "sequential JPEG and PNG decode from scratch") from exc
+            "exotic JPEG variants (arithmetic/12-bit/hierarchical) need "
+            "cv2/PIL, not installed in this environment — baseline "
+            "sequential JPEG, progressive JPEG, and PNG decode from "
+            "scratch") from exc
     arr = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_UNCHANGED)
     if arr is None:
         raise ImageError("cv2.imdecode failed")
@@ -962,7 +1404,7 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_png(buf)
     if buf[:3] == b"\xff\xd8\xff":
         try:
-            return decode_jpeg(buf)  # baseline sequential: from scratch
+            return decode_jpeg(buf)  # baseline + progressive: from scratch
         except _UnsupportedJpeg:
             # progressive/arithmetic/12-bit — the real-codec hook
             return _decode_real(buf)

@@ -481,12 +481,16 @@ def test_jpeg_dispatch_and_errors():
         decode_jpeg(buf[:40])  # truncated mid-header
     with pytest.raises(ImageError):
         decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI only, no SOF/SOS
-    # progressive (SOF2) is valid JPEG but beyond baseline: dispatch
-    # routes it to the import-guarded real-codec hook, which without
-    # cv2 raises NotImplementedError (not a silent wrong decode)
-    prog = buf.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # arithmetic-coded (SOF9) is valid JPEG but beyond this decoder:
+    # dispatch routes it to the import-guarded real-codec hook, which
+    # without cv2 raises NotImplementedError (not a silent wrong decode)
+    arith = buf.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with pytest.raises(NotImplementedError):
-        decode_image(prog)
+        decode_image(arith)
+    # relabeling the SAME sequential stream SOF2 makes it malformed
+    # progressive (its single scan spans DC+AC): typed error, no hook
+    with pytest.raises(ImageError):
+        decode_jpeg(buf.replace(b"\xff\xc0", b"\xff\xc2", 1))
 
 
 def test_ocr_reads_jpeg_render():
@@ -569,3 +573,79 @@ def test_fallback_arming_routes_to_plugged_engine(monkeypatch):
     rec = extract_mod.extract_one(payload)
     assert rec["metadata"]["text_layer"] == "short"
     assert "ocr_error" in rec["metadata"]
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Progressive (SOF2) decode: the encoder's scan script fully
+    refines successive approximation, so the decoded pixels must be
+    BIT-IDENTICAL to decoding the baseline stream of the same blocks —
+    across gray/color, 4:4:4/4:2:0, odd dims, and EOB-run-heavy
+    (flat/gradient) content."""
+    from advanced_text_extraction_spark.kernels.image_codec import (
+        decode_image, decode_jpeg, encode_jpeg)
+    rng = np.random.default_rng(11)
+    cases = [
+        (rng.integers(0, 256, size=(33, 41), dtype=np.uint8), False),
+        (rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8), True),
+        (np.full((96, 128), 130, np.uint8), False),       # long EOB runs
+        (((np.mgrid[0:96, 0:128][1] * 2 + np.mgrid[0:96, 0:128][0])
+          % 256).astype(np.uint8), False),                # sparse AC
+    ]
+    spike = np.full((64, 64), 128, np.uint8)              # ZRL + history
+    spike[::9, ::11] = 255
+    spike[3::13, 5::7] = 0
+    cases.append((spike, False))
+    for img, sub in cases:
+        for q in (40, 92):
+            base = encode_jpeg(img, quality=q, subsample=sub)
+            prog = encode_jpeg(img, quality=q, subsample=sub,
+                               progressive=True)
+            assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+            assert np.array_equal(decode_jpeg(base), decode_jpeg(prog))
+            # dispatch decodes progressive natively (no hook, no cv2)
+            assert np.array_equal(decode_image(prog), decode_jpeg(prog))
+
+
+def test_jpeg_progressive_scan_coders_property():
+    """Coefficient-level adversarial check, no DCT in the loop: random
+    sparse zigzag blocks → AC first + refine token streams → bits →
+    the progressive scan decoders must reproduce the blocks exactly
+    (covers EOBn runs, ZRL-with-history interleaving, band splits)."""
+    from advanced_text_extraction_spark.kernels.image_codec import (
+        _ac_first, _ac_refine, _BitReader, _BitWriter, _ac_first_tokens,
+        _ac_refine_tokens, _build_dht, _canonical_codes, _encode_codes,
+        _write_tokens)
+
+    rng = np.random.default_rng(23)
+    for trial in range(20):
+        bw, bh = int(rng.integers(1, 5)), int(rng.integers(1, 4))
+        blocks = np.zeros((bh, bw, 64), dtype=np.int64)
+        # sparse magnitudes with long zero runs and mixed history levels
+        for my in range(bh):
+            for mx in range(bw):
+                n = int(rng.integers(0, 8))
+                ks = rng.choice(np.arange(1, 64), size=n, replace=False)
+                blocks[my, mx, ks] = rng.choice(
+                    [-70, -17, -3, -2, -1, 1, 2, 3, 18, 90], size=n)
+        for ss, se in [(1, 63), (1, 5), (6, 63), (17, 40)]:
+            al = 1
+            got = np.zeros_like(blocks)
+            for tokens_fn, decoder, ah in [
+                    (_ac_first_tokens, _ac_first, 0),
+                    (_ac_refine_tokens, _ac_refine, 1)]:
+                a_l = al if ah == 0 else 0
+                toks = tokens_fn(blocks, bw, bh, ss, se, a_l)
+                spec = _build_dht([t[1] for t in toks if t[0] == "s"])
+                wr = _BitWriter()
+                _write_tokens(wr, toks, _encode_codes(*spec))
+                wr.flush()
+                reader = _BitReader(bytes(wr.out))
+                tab = _canonical_codes(*spec)
+                eobrun = 0
+                for m in range(bw * bh):
+                    my, mx = divmod(m, bw)
+                    eobrun = decoder(reader, got[my, mx], ss, se, a_l,
+                                     tab, eobrun)
+            band = slice(ss, se + 1)
+            assert (got[:, :, band] == blocks[:, :, band]).all(), \
+                f"trial {trial} band {ss}-{se}"
