@@ -121,3 +121,40 @@ def test_image_stats_sniff_codec_over_jpeg_and_png(spark):
         # JPEG is lossy: compare against the decode, not the original
         want = (decode_jpeg(payloads[mid]) if mid < 2 else img).mean()
         assert r["mean_intensity"] == pytest.approx(want)
+
+
+def test_image_stats_sniff_codec_over_progressive_jpeg(spark):
+    """Progressive (SOF2) JPEG payloads decode natively through the same
+    Spark plumbing — no cv2 hook on the default path (r3: the remaining
+    real-world JPEG slice after baseline landed)."""
+    import pandas as pd
+
+    from advanced_text_extraction_spark.kernels.image_codec import (
+        decode_jpeg, encode_jpeg)
+    from advanced_text_extraction_spark.kernels.image_prep import to_gray
+
+    rng = np.random.default_rng(5)
+    imgs = {
+        0: rng.integers(0, 256, size=(24, 32), dtype=np.uint8),
+        1: rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8),
+    }
+    payloads = {
+        0: encode_jpeg(imgs[0], quality=90, progressive=True),
+        1: encode_jpeg(imgs[1], quality=85, subsample=True,
+                       progressive=True),
+    }
+    assert all(b"\xff\xc2" in p for p in payloads.values())
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": list(payloads),
+                      "kind": ["image"] * 2,
+                      "payload": list(payloads.values()),
+                      "meta": [{}] * 2}),
+        schema=M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r
+           for r in M.image_stats(df, codec="sniff").collect()}
+    for mid, img in imgs.items():
+        r = out[mid]
+        assert r["status"] == "ok"
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        assert r["mean_intensity"] == pytest.approx(
+            to_gray(decode_jpeg(payloads[mid])).mean())
