@@ -576,6 +576,8 @@ def _decode_block_seq(reader: "_BitReader", zz: np.ndarray, preds: dict,
                       c: dict) -> None:
     """Baseline-sequential block decode: DC diff + AC runs (T.81 F.2)."""
     t = reader.huff(c["dc"])
+    if t > 15:  # corrupt table: category beyond spec overflows int64
+        raise ImageError("bad JPEG DC category")
     preds[c["id"]] += _extend(reader.take(t), t)
     zz[0] = preds[c["id"]]
     k = 1
@@ -721,6 +723,8 @@ def _decode_scan_prog(segs: list[bytes], scan: list[tuple], geom: tuple,
                         block = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
                         if ah == 0:
                             t = reader.huff(dctab)
+                            if t > 15:
+                                raise ImageError("bad JPEG DC category")
                             preds[c["id"]] += _extend(reader.take(t), t)
                             block[0] = preds[c["id"]] << al
                         elif reader.bit():
@@ -735,6 +739,8 @@ def _decode_scan_prog(segs: list[bytes], scan: list[tuple], geom: tuple,
                         raise ImageError("JPEG DC scan references "
                                          "missing DHT")
                     t = reader.huff(dctab)
+                    if t > 15:
+                        raise ImageError("bad JPEG DC category")
                     preds[c["id"]] += _extend(reader.take(t), t)
                     block[0] = preds[c["id"]] << al
                 elif reader.bit():

@@ -133,3 +133,30 @@ def test_decode_bytes_is_total_over_random_binary():
         assert isinstance(text, str) and 0.0 <= conf <= 1.0
         # the named codec must actually round-trip the decision
         assert enc
+
+
+def test_progressive_jpeg_decoder_total_over_corruption():
+    """Bit-flipped / truncated progressive (SOF2) streams must hit the
+    typed ImageError (or still decode, or route exotic-SOF relabels to
+    the hook) — never an uncaught exception or a hang. The multi-scan
+    walk adds parser surface (scan headers, EOBn, refinement bits) that
+    baseline fuzzing cannot reach."""
+    from advanced_text_extraction_spark.kernels.image_codec import (
+        encode_jpeg)
+
+    rng = random.Random(7)
+    img = render_page("PROG FUZZ 42", scale=2)
+    rgb = np.dstack([img, img, img])
+    samples = []
+    for raw in (encode_jpeg(img, quality=90, progressive=True),
+                encode_jpeg(rgb, quality=85, subsample=True,
+                            progressive=True)):
+        for _ in range(40):
+            samples.append(_bitflip(rng, raw, rng.randrange(1, 10)))
+            samples.append(raw[:rng.randrange(len(raw))])
+    for s in samples:
+        try:
+            arr = decode_image(s)
+            assert isinstance(arr, np.ndarray)
+        except (ImageError, NotImplementedError):
+            pass
