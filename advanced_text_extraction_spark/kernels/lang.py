@@ -7,8 +7,8 @@ Replaces the reference's langdetect calls
 is seed-unstable, so the engine and the test oracle share this SPEC (not
 this code) to make the equality gate meaningful. ``'unknown'`` fallback
 semantics preserved from text_extractor.py:1076-1084. Breadth (r2 VERDICT
-gap #2) follows langdetect's coverage of the top web languages: 12
-Latin-script profiles + 9 script-detected languages.
+gap #2) follows langdetect's coverage of the top web languages: 17
+Latin-script profiles + 9 script-detected languages (26 total).
 
 Scoring is ONE uniform rule so every tier (this kernel, the codegen'd SQL
 twin in operators/textstats.py, the DuckDB oracle) can reproduce it:
@@ -81,6 +81,26 @@ STOPWORDS: dict[str, frozenset[str]] = {
     "vi": frozenset(
         "của không người trong cũng những việc một này khi nhưng với "
         "làm năm theo".split()
+    ),
+    "ro": frozenset(
+        "sunt pentru acest aceasta dintre fiecare foarte atunci numai "
+        "acum către".split()
+    ),
+    "cs": frozenset(
+        "jsou jsem bylo tento tato pouze velmi nebo proto aby mezi "
+        "podle".split()
+    ),
+    "da": frozenset(
+        "hvad hvordan hvilket noget meget være bliver hvis derfor ikke "
+        "denne".split()
+    ),
+    "fi": frozenset(
+        "mutta kanssa jossa kuitenkin ovat voidaan olla niin myös kun "
+        "jotka".split()
+    ),
+    "hu": frozenset(
+        "hogy nem egy volt mint csak vagy azonban minden ezek még "
+        "már".split()
     ),
 }
 

@@ -81,6 +81,16 @@ _LANG_MARKERS = {
               "her ama değil".split()),
     "vi": set("của không người trong cũng những việc một này khi nhưng với "
               "làm năm theo".split()),
+    "ro": set("sunt pentru acest aceasta dintre fiecare foarte atunci numai "
+              "acum către".split()),
+    "cs": set("jsou jsem bylo tento tato pouze velmi nebo proto aby mezi "
+              "podle".split()),
+    "da": set("hvad hvordan hvilket noget meget være bliver hvis derfor "
+              "ikke denne".split()),
+    "fi": set("mutta kanssa jossa kuitenkin ovat voidaan olla niin myös "
+              "kun jotka".split()),
+    "hu": set("hogy nem egy volt mint csak vagy azonban minden ezek még "
+              "már".split()),
 }
 # non-Latin scripts: one marker per character inside the language's core
 # Unicode block(s); Japanese counts kana here and adds the Han tally when

@@ -88,6 +88,35 @@ def test_lang_latin_breadth():
     assert detect_language("bir ve bu kadar sonra daha gibi") == "tr"
     assert detect_language("yang dan dengan untuk dari ini itu") == "id"
     assert detect_language("của không người trong cũng những việc") == "vi"
+    assert detect_language("sunt aici pentru fiecare dintre voi acum") == "ro"
+    assert detect_language("jsou tady jsem bylo tento dům velmi") == "cs"
+    assert detect_language("hvad er det hvordan kan noget være meget") == "da"
+    assert detect_language("mutta kanssa jossa talo ovat kuitenkin") == "fi"
+    assert detect_language("hogy nem egy ház volt csak vagy minden") == "hu"
+
+
+def test_lang_marker_sets_keep_sql_tier_contract():
+    """SPEC §5 invariants every profile must hold so the codegen'd SQL
+    tier and the DuckDB oracle can count the same hits: marker sets
+    pairwise DISJOINT, and every word starts AND ends with an ASCII
+    letter (\\b is ASCII-word-based in Java regex and RE2) — except the
+    documented pre-rule grandfather 'être'."""
+    import itertools
+    import string
+
+    from advanced_text_extraction_spark.kernels.lang import STOPWORDS
+
+    for (la, wa), (lb, wb) in itertools.combinations(
+            STOPWORDS.items(), 2):
+        shared = wa & wb
+        assert not shared, f"{la}/{lb} share markers {shared}"
+    ascii_letters = set(string.ascii_lowercase)
+    for lang, words in STOPWORDS.items():
+        for word in words:
+            if word == "être":  # documented exception, never SQL-counted
+                continue
+            assert word[0] in ascii_letters and word[-1] in ascii_letters, \
+                f"{lang}:{word} breaks the ASCII-edge rule"
 
 
 def test_lang_script_breadth():
