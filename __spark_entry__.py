@@ -305,6 +305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _spread(_t(s, d, "documents")), "doc_id", "text")
     q["winnow_fingerprints"] = lambda s, d: TS.winnow_fingerprints(
         _spread(_t(s, d, "documents")), "doc_id", "text")
+    q["tfidf_topk"] = lambda s, d: TS.tfidf_topk(
+        _t(s, d, "documents"), "doc_id", "text", k=5)
 
     # ---- extraction tier exposed to the oracle gate ----
     q["sniff_content_type"] = lambda s, d: _t(s, d, "documents").select(
@@ -1206,6 +1208,32 @@ def oracle_sql() -> dict[str, str]:
     # digits/underscores — see lang_id_sql docstring), so one oracle
     # gates both
     o["lang_id_kernel"] = o["lang_id_sql"]
+
+    # rational idf (no ln — libm drift breaks hash parity; IEEE division
+    # is correctly rounded in both engines), ties broken by term
+    o["tfidf_topk"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(
+                       lower(coalesce(text, '')), '[a-z]+')) AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                   round(tf.tf * (n.n_docs + 1.0) / (dfq.df + 1.0), 6)
+                       AS score
+            FROM tf JOIN dfq USING (term), n),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score DESC, term ASC) AS rnk
+            FROM scored)
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, score, CAST(rnk AS INT) AS rank
+        FROM ranked WHERE rnk <= 5"""
 
     o["winnow_fingerprints"] = """
         WITH grams AS (

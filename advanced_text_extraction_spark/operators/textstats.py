@@ -174,3 +174,78 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
                                 "min_fp": mins, "max_fp": maxs})
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+# last persisted term-frequency table — same latest-wins lifecycle as
+# operators/dedup.py's _last_band_keys (see that docstring for the trade)
+_last_tf: DataFrame | None = None
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str,
+               k: int = 5, min_df: int = 1,
+               tf: DataFrame | None = None) -> DataFrame:
+    """Per-document top-k keyword extraction by TF-IDF — the classic
+    corpus-curation signal (topic tagging, boilerplate spotting, domain
+    mixing) the reference has no analog for. Corpus-scale shape:
+
+    - tokenize with ONE codegen'd ``regexp_extract_all`` + explode;
+    - term frequency: ONE (doc, term)-keyed exchange with partial
+      aggregation (map-side combine collapses within-doc repeats);
+    - document frequency: ONE term-keyed exchange over the already
+      deduplicated (doc, term) rows — stopword skew collapses map-side;
+    - tf ⋈ df equi-join on term: the build side is UNIQUE per key, so
+      probe-side skew splits under AQE;
+    - corpus size joins in as a BROADCAST 1-row aggregate (no collect);
+    - per-doc top-k via row_number over a doc-keyed window, ties broken
+      by term for determinism.
+
+    idf is the RATIONAL smooth variant ``(n_docs + 1) / (df + 1)`` — no
+    logarithm, deliberately: IEEE division is correctly rounded in both
+    Spark (JVM) and DuckDB while ``ln`` is libm-dependent (≤1 ulp), so
+    the rational form keeps the DuckDB oracle hash-exact. Score is
+    ``tf * (n+1)/(df+1)`` rounded to 6dp.
+
+    The tf table feeds BOTH the df aggregation and the scoring join, and
+    Spark does not reuse the exchange between the branches — without a
+    barrier the scan+tokenize pipeline would run twice (the LSH
+    double-kernel lesson). Default path persists tf in a latest-wins
+    module slot; pass a persisted+materialized ``tf`` (schema
+    (id, term, tf)) to own the lifecycle, or stage tf as a durable
+    intermediate table in a 100 TB pipeline."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    if tf is None:
+        c = F.coalesce(F.col(text_col), F.lit(""))
+        tokens = df.select(
+            F.col(id_col),
+            F.explode(F.regexp_extract_all(
+                F.lower(c), F.lit("[a-z]+"), 0)).alias("term"))
+        global _last_tf
+        if _last_tf is not None:
+            try:
+                _last_tf.unpersist(blocking=False)
+            except Exception:
+                pass  # session of the old handle may be gone
+        tf = tokens.groupBy(id_col, "term").agg(
+            F.count(F.lit(1)).alias("tf")) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        _last_tf = tf
+        tf.count()  # materialize ONCE before the branches fork
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")).filter(F.col("df") >= min_df)
+    n_docs = df.select(
+        F.count(F.lit(1)).alias("n_docs"))  # 1 row → broadcast join
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("score", F.round(
+                  F.col("tf") * (F.col("n_docs") + F.lit(1.0))
+                  / (F.col("df") + F.lit(1.0)), 6)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "term",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"),
+                    "score", F.col("rank").cast("int").alias("rank")))

@@ -303,3 +303,31 @@ def test_lang_id_kernel_matches_sql_tier_on_prose(spark):
     assert kern == sql
     assert kern[0] == "en" and kern[4] == "ja" and kern[5] == "zh"
     assert kern[7] == kern[8] == kern[9] == "unknown"
+
+
+def test_tfidf_topk_ranks_distinctive_terms(spark):
+    """TF-IDF semantics on a corpus with a known structure: a term that
+    appears in every document (boilerplate) must rank below a term
+    unique to the document, and rank/tie-break must be deterministic."""
+    from advanced_text_extraction_spark.operators import textstats as TS
+
+    docs = [
+        (0, "common common zebra zebra zebra"),
+        (1, "common yak"),
+        (2, "common wolf wolf"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = TS.tfidf_topk(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["rank"])
+    # doc 0: zebra (tf=3, df=1 → 3*4/2=6.0) beats common (tf=2, df=3 → 2)
+    assert [r["term"] for r in by_doc[0]] == ["zebra", "common"]
+    assert by_doc[0][0]["score"] == 6.0 and by_doc[0][0]["df"] == 1
+    assert by_doc[1][0]["term"] == "yak"      # 1*4/2=2.0 > common 1.0
+    assert by_doc[2][0]["term"] == "wolf"     # 2*4/2=4.0
+    # every doc returns at most k rows, ranks are 1..n
+    assert all([r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+               for rows in by_doc.values())
