@@ -116,6 +116,13 @@ AUDIT = [
      "cumsum (sort is partition-local). Shards pack independently, so "
      "parallelism = n_shards; a single global window would funnel the "
      "corpus through one task — the anti-pattern this shape avoids"),
+    ("tfidf_topk",
+     "per-doc TF-IDF top-k: the tf table is persisted and materialized "
+     "ONCE (df aggregation + scoring join both read InMemoryTableScan "
+     "— without the barrier the scan+tokenize subtree runs per branch); "
+     "term-keyed df agg partial+final, 1-row corpus count broadcast, "
+     "and WindowGroupLimit prunes to top-k BEFORE the per-doc window "
+     "exchange (map-side top-k, skew-resistant)"),
     ("unigram_logprob",
      "corpus-shaping tier: unigram LM quality proxy — three exchanges "
      "(token-count agg with partial combine; tokens-vocab equi-join "
