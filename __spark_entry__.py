@@ -371,6 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         budget=256, n_shards=8)
     q["unigram_logprob"] = lambda s, d: SMP.unigram_logprob(
         _spread(_t(s, d, "documents")), "doc_id", "text")
+    q["bigram_logprob"] = lambda s, d: SMP.bigram_logprob(
+        _t(s, d, "documents"), "doc_id", "text")
 
     # ---- flagship end-to-end, oracle-checkable (plain+HTML payloads only;
     # every branch SQL-expressible — closes the r1 no_oracle gap; the
@@ -1551,4 +1553,34 @@ def oracle_sql() -> dict[str, str]:
                      / count(*), 6) AS mean_logprob
         FROM toks JOIN vocab USING (token) CROSS JOIN tot
         GROUP BY doc_id"""
+
+    # bigram tier: same 12dp-round → exact-decimal recipe; dn weight as
+    # DECIMAL(8,0) keeps the product inside 38 digits (see operator)
+    o["bigram_logprob"] = r"""
+        WITH base AS (
+            SELECT doc_id,
+                   string_split_regex(trim(coalesce(text, '')),
+                                      '\s+') AS arr
+            FROM documents),
+        bg AS (
+            SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2,
+                   count(*) AS dn
+            FROM base, UNNEST(generate_series(1, len(arr) - 1)) s(i)
+            WHERE arr[i] <> ''
+            GROUP BY doc_id, w1, w2),
+        c12 AS (SELECT w1, w2, sum(dn) AS c12 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+        scored AS (
+            SELECT bg.doc_id,
+                   sum(bg.dn) AS n_bigrams,
+                   sum(CAST(bg.dn AS DECIMAL(8,0))
+                       * CAST(round(log10(CAST(c12.c12 AS DOUBLE)
+                                          / c1.c1), 12)
+                              AS DECIMAL(28,12))) AS sum_lp
+            FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+            GROUP BY bg.doc_id)
+        SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               round(CAST(sum_lp AS DOUBLE) / n_bigrams, 6)
+                   AS mean_logprob
+        FROM scored"""
     return o

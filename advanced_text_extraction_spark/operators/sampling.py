@@ -171,3 +171,82 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(F.col("sum_lp").cast("double") / F.col("n_tokens"), 6)
         .alias("mean_logprob"),
     )
+
+
+# last persisted per-doc bigram table — latest-wins lifecycle shared with
+# operators/dedup.py's _last_band_keys / textstats._last_tf (see those
+# docstrings for the trade and the durable-table production alternative)
+_last_doc_bigrams: DataFrame | None = None
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                   doc_bigrams: DataFrame | None = None) -> DataFrame:
+    """Bigram conditional-LM quality proxy — the next tier above
+    ``unigram_logprob`` toward CCNet's n-gram-LM perplexity gate: fit
+    bigram transition counts on the corpus itself, score each doc by its
+    mean log10 conditional probability log10(c(w1,w2)/c(w1·)) where
+    c(w1·) counts w1 as a bigram HEAD (so the conditional distribution
+    sums to 1 per head). Repetitive/templated text scores HIGH (its
+    transitions dominate the corpus model), shuffled or mojibake text
+    scores LOW — complementary to the unigram tier, which only sees
+    token identity. Docs with <2 tokens emit no row.
+
+    Determinism: the same engine-exact recipe as unigram_logprob — each
+    term log10 is rounded to 12dp, cast DECIMAL(28,12), weighted by the
+    per-doc bigram count (decimal × bigint is exact in both engines),
+    decimal-summed, and only the final mean divides as double.
+
+    Scale shape: posexplode + a per-doc lead() window build bigrams
+    (codegen'd; ONE doc-keyed exchange), then ONE (doc,w1,w2) partial
+    aggregation collapses within-doc repeats — that table is persisted
+    and materialized once because it feeds BOTH the corpus model and
+    the scoring join (the tfidf/LSH double-execution lesson). The
+    corpus bigram counts derive from the persisted table (vocab-sized
+    partial aggs), head counts derive from the bigram counts (no third
+    corpus pass), and both join back with unique-per-key build sides.
+    Pass ``doc_bigrams`` (persisted, schema (id, w1, w2, dn)) to own
+    the lifecycle; stage it as a durable table at 100 TB."""
+    from pyspark.storagelevel import StorageLevel
+
+    if doc_bigrams is None:
+        arr = F.split(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        toks = df.select(
+            F.col(id_col), F.posexplode(arr).alias("pos", "w1")) \
+            .where(F.col("w1") != "")
+        w = Window.partitionBy(id_col).orderBy("pos")
+        bgs = toks.withColumn("w2", F.lead("w1").over(w)) \
+            .where(F.col("w2").isNotNull())
+        global _last_doc_bigrams
+        if _last_doc_bigrams is not None:
+            try:
+                _last_doc_bigrams.unpersist(blocking=False)
+            except Exception:
+                pass  # session of the old handle may be gone
+        doc_bigrams = bgs.groupBy(id_col, "w1", "w2").agg(
+            F.count(F.lit(1)).alias("dn")) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        _last_doc_bigrams = doc_bigrams
+        doc_bigrams.count()  # materialize ONCE before the branches fork
+
+    bg_counts = doc_bigrams.groupBy("w1", "w2").agg(
+        F.sum("dn").alias("c12"))
+    head_counts = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    term = F.round(F.log10(F.col("c12") / F.col("c1")), 12) \
+        .cast("decimal(28,12)")
+    scored = (doc_bigrams
+              .join(bg_counts, ["w1", "w2"])
+              .join(head_counts, "w1")
+              .groupBy(id_col)
+              .agg(F.sum("dn").cast("long").alias("n_bigrams"),
+                   # dn as DECIMAL(8,0): 8+28+1 = 37 ≤ 38, so the
+                   # product stays EXACT decimal(37,12) — a long weight
+                   # would push precision past Spark's 38 cap and
+                   # silently reduce scale (engine divergence)
+                   F.sum(F.col("dn").cast("decimal(8,0)") * term)
+                   .alias("sum_lp")))
+    # exact decimal sum → double BEFORE the division (engine-identical)
+    return scored.select(
+        F.col(id_col), "n_bigrams",
+        F.round(F.col("sum_lp").cast("double") / F.col("n_bigrams"), 6)
+        .alias("mean_logprob"))

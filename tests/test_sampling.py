@@ -172,3 +172,28 @@ def test_unigram_logprob_partitioning_invariant(spark):
     b = {r["doc_id"]: r["mean_logprob"] for r in
          unigram_logprob(df.repartition(13), "doc_id", "text").collect()}
     assert a == b
+
+
+def test_bigram_logprob_scores_transitions(spark):
+    """Bigram conditional-LM semantics: a doc whose transitions are
+    deterministic in the corpus model (every head has ONE successor)
+    scores mean log10(1) = 0; a doc sharing heads with competing
+    successors scores negative; docs with <2 tokens emit no row."""
+    from advanced_text_extraction_spark.operators.sampling import \
+        bigram_logprob
+
+    docs = [
+        (0, "a b c"),        # a→b, b→c … but a also →x in doc 2
+        (1, "p q r"),        # unique heads: p(q|p)=p(r|q)=1 → mean 0
+        (2, "a x"),          # competes with doc 0's a→b
+        (3, "solo"),         # 1 token → no bigrams → no row
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           bigram_logprob(df, "doc_id", "text").collect()}
+    assert 3 not in out
+    assert out[1]["mean_logprob"] == 0.0 and out[1]["n_bigrams"] == 2
+    # doc 0: p(b|a)=1/2 (a heads: b,x), p(c|b)=1 → mean log10 < 0
+    assert out[0]["mean_logprob"] == round(
+        (-0.301029995664 + 0.0) / 2, 6) == -0.150515
+    assert out[2]["mean_logprob"] == -0.30103
