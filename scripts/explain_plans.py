@@ -123,6 +123,12 @@ AUDIT = [
      "term-keyed df agg partial+final, 1-row corpus count broadcast, "
      "and WindowGroupLimit prunes to top-k BEFORE the per-doc window "
      "exchange (map-side top-k, skew-resistant)"),
+    ("bigram_logprob",
+     "bigram conditional-LM proxy: transitions from posexplode + "
+     "per-doc lead() window (ONE doc-keyed exchange), the (doc,w1,w2) "
+     "table persisted ONCE (model + scoring join both read "
+     "InMemoryTableScan), corpus bigram/head counts cascade from it "
+     "as vocab-sized partial aggs, exact-decimal term sums"),
     ("unigram_logprob",
      "corpus-shaping tier: unigram LM quality proxy — three exchanges "
      "(token-count agg with partial combine; tokens-vocab equi-join "
