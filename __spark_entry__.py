@@ -307,6 +307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _spread(_t(s, d, "documents")), "doc_id", "text")
     q["tfidf_topk"] = lambda s, d: TS.tfidf_topk(
         _t(s, d, "documents"), "doc_id", "text", k=5)
+    q["bm25_topk"] = lambda s, d: TS.bm25_topk(
+        _t(s, d, "documents"), "doc_id", "text", k=5)
 
     # ---- extraction tier exposed to the oracle gate ----
     q["sniff_content_type"] = lambda s, d: _t(s, d, "documents").select(
@@ -1235,6 +1237,42 @@ def oracle_sql() -> dict[str, str]:
             FROM scored)
         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
                CAST(df AS BIGINT) AS df, score, CAST(rnk AS INT) AS rank
+        FROM ranked WHERE rnk <= 5"""
+
+    # BM25: every factor is a double multiply/divide; the SQL mirrors the
+    # operator's expression TREE (constant subexpressions like 1.2 + 1.0
+    # included) so both engines execute identical correctly-rounded IEEE
+    # ops — do NOT fold constants here
+    o["bm25_topk"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(
+                       lower(coalesce(text, '')), '[a-z]+')) AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        dl AS (SELECT doc_id, sum(tf) AS doclen FROM tf GROUP BY doc_id),
+        corpus AS (SELECT count(*) AS n_docs,
+                          sum(doclen) / count(*) AS avgdl FROM dl),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfq.df, dl.doclen,
+                   round(((corpus.n_docs + 1.0) / (dfq.df + 1.0))
+                         * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+                            / (CAST(tf.tf AS DOUBLE)
+                               + 1.2 * (1.0 - 0.75
+                                        + 0.75 * (dl.doclen
+                                                  / corpus.avgdl)))), 6)
+                       AS score
+            FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), corpus),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score DESC, term ASC) AS rnk
+            FROM scored)
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, CAST(doclen AS BIGINT) AS doclen,
+               score, CAST(rnk AS INT) AS rank
         FROM ranked WHERE rnk <= 5"""
 
     o["winnow_fingerprints"] = """

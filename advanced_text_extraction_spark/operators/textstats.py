@@ -181,6 +181,36 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
 _last_tf: DataFrame | None = None
 
 
+def doc_term_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) table: ONE codegen'd tokenize (lower +
+    regexp_extract_all('[a-z]+')) + explode + (id, term)-keyed partial
+    aggregation, PERSISTED and materialized before return — tfidf_topk
+    and bm25_topk each fork multiple consumers off this table, and Spark
+    re-runs the scan+tokenize subtree per branch without the barrier.
+    Latest-wins module slot (call-site ownership: pass the result as
+    ``tf=`` to several scorers to share one build); stage as a durable
+    table in a 100 TB pipeline."""
+    from pyspark.storagelevel import StorageLevel
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(
+            F.lower(c), F.lit("[a-z]+"), 0)).alias("term"))
+    global _last_tf
+    if _last_tf is not None:
+        try:
+            _last_tf.unpersist(blocking=False)
+        except Exception:
+            pass  # session of the old handle may be gone
+    tf = tokens.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    _last_tf = tf
+    tf.count()  # materialize ONCE before the branches fork
+    return tf
+
+
 def tfidf_topk(df: DataFrame, id_col: str, text_col: str,
                k: int = 5, min_df: int = 1,
                tf: DataFrame | None = None) -> DataFrame:
@@ -213,25 +243,9 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str,
     (id, term, tf)) to own the lifecycle, or stage tf as a durable
     intermediate table in a 100 TB pipeline."""
     from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
 
     if tf is None:
-        c = F.coalesce(F.col(text_col), F.lit(""))
-        tokens = df.select(
-            F.col(id_col),
-            F.explode(F.regexp_extract_all(
-                F.lower(c), F.lit("[a-z]+"), 0)).alias("term"))
-        global _last_tf
-        if _last_tf is not None:
-            try:
-                _last_tf.unpersist(blocking=False)
-            except Exception:
-                pass  # session of the old handle may be gone
-        tf = tokens.groupBy(id_col, "term").agg(
-            F.count(F.lit(1)).alias("tf")) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        _last_tf = tf
-        tf.count()  # materialize ONCE before the branches fork
+        tf = doc_term_freq(df, id_col, text_col)
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")).filter(F.col("df") >= min_df)
     n_docs = df.select(
@@ -248,4 +262,54 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str,
             .select(id_col, "term",
                     F.col("tf").cast("long").alias("tf"),
                     F.col("df").cast("long").alias("df"),
+                    "score", F.col("rank").cast("int").alias("rank")))
+
+
+def bm25_topk(df: DataFrame, id_col: str, text_col: str,
+              k: int = 5, k1: float = 1.2, b: float = 0.75,
+              tf: DataFrame | None = None) -> DataFrame:
+    """Per-document top-k terms by BM25 — tfidf_topk's ranking sibling
+    with the Okapi length-normalized tf saturation (long boilerplate
+    docs stop dominating, repeated terms stop scaling linearly):
+
+        score = idf_r * tf*(k1+1) / (tf + k1*(1 - b + b*len/avgdl))
+
+    with the same RATIONAL smooth idf ``(n_docs+1)/(df+1)`` as
+    tfidf_topk (no logarithm). Every factor is a double multiply/divide
+    — correctly rounded IEEE ops that Spark and DuckDB evaluate
+    bit-identically when the oracle mirrors the expression tree, so the
+    driver hash gate holds without precision games.
+
+    Scale shape: shares the persisted (id, term, tf) table
+    (``doc_term_freq``) across ALL its consumers — df aggregation,
+    per-doc length aggregation (whose 1-row mean becomes avgdl, a
+    cascaded vocab-free agg), and the scoring join; unique-per-key
+    build sides; WindowGroupLimit prunes top-k map-side."""
+    from pyspark.sql import Window
+
+    if tf is None:
+        tf = doc_term_freq(df, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("doclen"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("doclen") / F.count(F.lit(1))).alias("avgdl"))  # 1 row
+    idf_r = (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    tf_d = F.col("tf").cast("double")
+    sat = (tf_d * (F.lit(k1) + F.lit(1.0))
+           / (tf_d + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                                  + F.lit(b) * (F.col("doclen")
+                                                / F.col("avgdl")))))
+    scored = (tf.join(dfreq, "term")
+              .join(doclen, id_col)
+              .crossJoin(F.broadcast(corpus))
+              .withColumn("score", F.round(idf_r * sat, 6)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "term",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"),
+                    F.col("doclen").cast("long").alias("doclen"),
                     "score", F.col("rank").cast("int").alias("rank")))

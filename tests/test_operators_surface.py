@@ -331,3 +331,22 @@ def test_tfidf_topk_ranks_distinctive_terms(spark):
     # every doc returns at most k rows, ranks are 1..n
     assert all([r["rank"] for r in rows] == list(range(1, len(rows) + 1))
                for rows in by_doc.values())
+
+
+def test_bm25_topk_length_normalization(spark):
+    """BM25 semantics vs plain TF-IDF: equal tf in a SHORTER document
+    scores higher (Okapi length normalization), and tf saturates
+    sub-linearly rather than scaling linearly."""
+    from advanced_text_extraction_spark.operators import textstats as TS
+
+    docs = [
+        (0, "zebra common common common common common common common"),
+        (1, "zebra pad"),   # same zebra tf=1, much shorter doc
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["doc_id"], r["term"]): r for r in
+           TS.bm25_topk(df, "doc_id", "text", k=8).collect()}
+    assert out[(1, "zebra")]["score"] > out[(0, "zebra")]["score"]
+    # saturation: common has tf=7 but scores < 7x zebra's in-doc score
+    assert out[(0, "common")]["score"] < 7 * out[(0, "zebra")]["score"]
+    assert out[(0, "common")]["doclen"] == 8
