@@ -66,6 +66,9 @@ HEADLINE = [
     "paragraph_dedup",      # curation: corpus-wide dedup (one exchange)
     "decontaminate",        # curation: broadcast eval-set overlap
     "unigram_logprob",      # corpus-shaping: corpus-fit LM quality proxy
+    "bigram_logprob",       # corpus-shaping: conditional-LM tier (r3)
+    "tfidf_topk",           # text analysis: keyword extraction (r3)
+    "bm25_topk",            # text analysis: Okapi ranking sibling (r3)
 ]
 
 
