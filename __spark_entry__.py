@@ -337,6 +337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_stats"] = lambda s, d: C.repetition_stats(
         _spread(_t(s, d, "documents")), "doc_id", "text")
+    q["curation_policy"] = lambda s, d: C.curation_policy(
+        _t(s, d, "documents"), "doc_id", "text")
     q["gopher_quality_flags"] = lambda s, d: C.gopher_quality_flags(
         _spread(_t(s, d, "documents")), "doc_id", "text")
     # benchmark = every 41st doc: the flagged set must contain exactly the
@@ -1621,4 +1623,21 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum_lp AS DOUBLE) / n_bigrams, 6)
                    AS mean_logprob
         FROM scored"""
+
+    # composite curation gate: the three sub-oracles verbatim as CTEs —
+    # the composition itself is the thing under test, each tier is
+    # already hash-gated on its own
+    o["curation_policy"] = f"""
+        WITH g AS ({o["gopher_quality_flags"]}),
+             q AS ({o["quality_score"]}),
+             u AS ({o["unigram_logprob"]})
+        SELECT g.doc_id,
+               (g.gopher_keep AND q.quality >= 0.3
+                AND coalesce(u.mean_logprob >= -4.0, FALSE)) AS keep,
+               concat_ws(',',
+                   CASE WHEN NOT g.gopher_keep THEN 'gopher' END,
+                   CASE WHEN NOT (q.quality >= 0.3) THEN 'quality' END,
+                   CASE WHEN NOT coalesce(u.mean_logprob >= -4.0, FALSE)
+                        THEN 'lm' END) AS reasons
+        FROM g JOIN q USING (doc_id) LEFT JOIN u USING (doc_id)"""
     return o

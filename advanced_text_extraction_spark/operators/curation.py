@@ -262,3 +262,51 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(f"keeper.{id_col}").alias("keeper_id"),
         F.col("keeper.para_idx").cast("int").alias("keeper_idx"),
     )
+
+
+def curation_policy(df: DataFrame, id_col: str, text_col: str,
+                    min_quality: float = 0.3,
+                    min_logprob: float = -4.0) -> DataFrame:
+    """One keep/drop decision per document composing the three quality
+    tiers this module family provides — the shape of a production
+    curation gate (RefinedWeb/Gopher-style pipelines stack rule gates,
+    a quality score, and an LM proxy):
+
+    - Gopher rule gates (``gopher_quality_flags.gopher_keep``),
+    - the [0,1] heuristic ``quality_score`` ≥ ``min_quality``,
+    - the corpus-fit unigram LM proxy ``mean_logprob`` ≥ ``min_logprob``
+      (docs with no tokens have no LM row and FAIL this gate — empty
+      docs are never keepable).
+
+    ``reasons`` lists the failed gates comma-joined in a fixed order
+    (gopher,quality,lm) so the value is deterministic and the DuckDB
+    oracle (which composes the three sub-oracles verbatim) hashes
+    identically.
+
+    Scale shape: gopher + quality are row-local projections over the
+    same scan joined on the id (Spark plans two scans here; a fused
+    production variant would compute both in one projection — kept
+    separate so each tier stays independently testable/oracle-gated);
+    the LM tier joins in doc-keyed (already partitioned by its own
+    final aggregation). All joins are id-equi-joins, no new shuffle
+    classes."""
+    from .sampling import unigram_logprob
+    from .textstats import quality_score
+
+    g = gopher_quality_flags(df, id_col, text_col) \
+        .select(id_col, "gopher_keep")
+    q = quality_score(df, id_col, text_col).select(id_col, "quality")
+    u = unigram_logprob(df, id_col, text_col) \
+        .select(id_col, "mean_logprob")
+    j = g.join(q, id_col).join(u, id_col, "left")
+    pass_q = F.col("quality") >= F.lit(min_quality)
+    pass_lm = F.coalesce(
+        F.col("mean_logprob") >= F.lit(min_logprob), F.lit(False))
+    keep = F.col("gopher_keep") & pass_q & pass_lm
+    reasons = F.concat_ws(
+        ",",
+        F.when(~F.col("gopher_keep"), F.lit("gopher")),
+        F.when(~pass_q, F.lit("quality")),
+        F.when(~pass_lm, F.lit("lm")))
+    return j.select(F.col(id_col), keep.alias("keep"),
+                    reasons.alias("reasons"))

@@ -131,3 +131,28 @@ def test_paragraph_dedup_blank_paragraphs_excluded(spark):
     out = paragraph_dedup(docs, "doc_id", "text").collect()
     assert len(out) == 2
     assert all(r["n_copies"] == 1 for r in out)
+
+
+def test_curation_policy_composes_gates(spark):
+    """Composite keep/drop: a fluent doc passes all three tiers; an
+    empty doc has no LM row and must FAIL (not null-pass) the lm gate;
+    reasons list failed gates in the fixed gopher,quality,lm order."""
+    from advanced_text_extraction_spark.operators.curation import \
+        curation_policy
+
+    fluent = ("the quick brown fox jumps over the lazy dog and then "
+              "runs away to the forest where it has a nice den and "
+              "sleeps all day long with its family in the warm sun "
+              "while the birds are singing in the trees above them "
+              "and the river flows gently past the old stone bridge "
+              "near the quiet village where people walk their dogs")
+    docs = [(0, fluent), (1, ""), (2, "@@ ## $$ %% ^^ && **")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curation_policy(df, "doc_id", "text").collect()}
+    assert out[0]["keep"] is True and out[0]["reasons"] == ""
+    assert out[1]["keep"] is False and "lm" in out[1]["reasons"]
+    assert out[2]["keep"] is False
+    # fixed order: any multi-failure lists gopher before quality before lm
+    r2 = out[2]["reasons"].split(",")
+    assert r2 == sorted(r2, key=["gopher", "quality", "lm"].index)
