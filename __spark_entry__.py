@@ -351,6 +351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _synth_pii(_spread(_t(s, d, "documents"))), "doc_id", "text")
     q["paragraph_dedup"] = lambda s, d: C.paragraph_dedup(
         _synth_boiler(_spread(_t(s, d, "documents"))), "doc_id", "text")
+    # same operator at LINE granularity (repeated headers/footers/nav)
+    q["line_dedup"] = lambda s, d: C.paragraph_dedup(
+        _synth_boiler(_spread(_t(s, d, "documents"))), "doc_id", "text",
+        sep="\n")
 
     # simhash banding near-dup: every 37th doc gets an exact twin (id
     # offset past the corpus range) so hamming-0 pairs are guaranteed;
@@ -1544,6 +1548,14 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY doc_id, para_idx) AS rn
               FROM p)
         WHERE rn = 1"""
+
+    # line-granularity twin: identical shape, split on ONE chr(10) —
+    # replace only the SPLIT separators, not the boiler-injection
+    # literal (which must stay "\n\n" to match _synth_boiler)
+    o["line_dedup"] = o["paragraph_dedup"].replace(
+        """string_split(t,
+                                             chr(10) || chr(10))""",
+        "string_split(t, chr(10))")
 
     # ---- corpus-shaping tier (operators/sampling.py) ----
     o["stratified_sample"] = """

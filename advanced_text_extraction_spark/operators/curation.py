@@ -222,9 +222,11 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def paragraph_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
+                    sep: str = "\n\n") -> DataFrame:
     """Corpus-wide exact paragraph dedup (the C4 duplicate-span rule at
-    paragraph granularity): one row per distinct paragraph hash with its
+    paragraph granularity; pass ``sep="\n"`` for LINE granularity — the
+    shape repeated headers/footers/nav crumbs actually take): one row per distinct paragraph hash with its
     occurrence count and the canonical keeper — the lexicographically
     smallest (id, para_idx) occurrence. Consumers anti-join their exploded
     paragraphs against (para_hash, keeper) to drop every later copy.
@@ -251,7 +253,7 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # whose shared hash accumulates a huge phantom n_copies corpus-wide
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(c, "\n\n", -1)).alias("para_idx", "para"),
+        F.posexplode(F.split(c, sep, -1)).alias("para_idx", "para"),
     ).where(F.col("para").rlike(r"\S"))
     agg = paras.groupBy(F.md5(F.col("para")).alias("para_hash")).agg(
         F.count(F.lit(1)).alias("n_copies"),
