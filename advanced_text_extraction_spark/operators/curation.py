@@ -244,6 +244,8 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
     two HASH aggregates — groupBy(hash, id).agg(min(idx)) then
     groupBy(hash).agg(min(id), min_by(idx, id)) — trading the sort for a
     second slim exchange."""
+    import re
+
     # same LF fold as repetition_stats: paragraph boundaries in a CRLF
     # corpus are "\r\n\r\n", which a literal "\n\n" split never sees
     c = F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
@@ -251,9 +253,14 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
     # keep only paragraphs with a \S char: an odd run of 3+ newlines (or
     # CRLF blank spans) otherwise emits a whitespace-only "paragraph"
     # whose shared hash accumulates a huge phantom n_copies corpus-wide
+    # F.split takes a Java regex \u2014 quote the separator so a caller
+    # passing '|' or '.' splits on the LITERAL character, not
+    # between-every-character (ADVICE r3; re.escape only backslashes
+    # non-alphanumerics, which Java regex reads as the literal char)
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(c, sep, -1)).alias("para_idx", "para"),
+        F.posexplode(F.split(c, re.escape(sep), -1)).alias(
+            "para_idx", "para"),
     ).where(F.col("para").rlike(r"\S"))
     agg = paras.groupBy(F.md5(F.col("para")).alias("para_hash")).agg(
         F.count(F.lit(1)).alias("n_copies"),

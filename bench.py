@@ -156,11 +156,35 @@ def _membw(procs: int = 4) -> float:
 # marker whenever a headline query's implementation materially changes —
 # minima pooled across code versions are meaningless.
 HEADLINE_RUNS_LOG = os.path.join(REPO, "BENCH", "headline_runs.jsonl")
-HEADLINE_CONFIG_VER = "r3a"
+HEADLINE_CONFIG_VER = "r4a"
+
+
+def _source_tag() -> str:
+    """8-hex digest over every source file the headline queries execute
+    (ADVICE r3: the manually-bumped round marker alone lets a forgotten
+    bump mask a regression forever — min can only decrease within a
+    config). Any edit to these files starts a fresh pool; comment-only
+    edits bust the pool too, the accepted cost of making staleness
+    impossible rather than remembered."""
+    import hashlib
+    h = hashlib.md5()
+    roots = [os.path.join(REPO, "__spark_entry__.py")]
+    pkg = os.path.join(REPO, "advanced_text_extraction_spark")
+    for sub in ("operators", "kernels", "functions", "plans", "sources",
+                "multimodal"):
+        d = os.path.join(pkg, sub)
+        roots.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                     if f.endswith(".py"))
+    for p in roots:
+        with open(p, "rb") as f:
+            h.update(p.encode())
+            h.update(f.read())
+    return h.hexdigest()[:8]
 
 
 def _headline_config() -> str:
-    return f"{HEADLINE_CONFIG_VER}-sf{_sf_of(SF_DIR)}-cpus{CPUS}-mult{MULT}"
+    return (f"{HEADLINE_CONFIG_VER}-{_source_tag()}"
+            f"-sf{_sf_of(SF_DIR)}-cpus{CPUS}-mult{MULT}")
 
 
 def _log_headline(record: dict) -> None:

