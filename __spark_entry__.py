@@ -190,6 +190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.row_number().over(w).cast("long").alias("seq"))
 
     q["user_event_seq"] = _user_event_seq
+    # batch twin of the streaming sessionizer (same gap semantics;
+    # tests/test_streaming.py pins batch ≡ streaming on a shared fixture,
+    # this row gives the sessionization contract a hard driver gate)
+    q["sessionize_batch"] = lambda s, d: W.sessionize_batch(
+        _t(s, d, "events"), "user_id", "ts", "props",
+        gap_ms=4 * 3600 * 1000, tiebreak_col="event_id")
 
     # ---- F4–F6/F12 scalar functions over documents ----
     q["token_stats"] = lambda s, d: TS.token_stats(_t(s, d, "documents"), "doc_id", "text")
@@ -394,6 +400,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multi-payload case) ----
     q["extract_transcripts_e2e"] = _extract_e2e
     q["extract_transcripts_e2e_pdf"] = _extract_e2e_pdf
+    # flagship CURATION pipeline: extract → fused policy gate →
+    # stratified sample, one oracle-hashable query (the realistic
+    # 100 TB training-data job shape)
+    q["curate_e2e"] = _curate_e2e
     return _gate_order(q)
 
 
@@ -494,6 +504,45 @@ def _extract_e2e_pdf(s: SparkSession, d: str) -> DataFrame:
     level — base64 decode → PDF object/stream parse → layout → text all
     run through the full salted pipeline and get hash-checked."""
     return _e2e_pipeline(s, d, include_pdf=True)
+
+
+# latest-wins slot for curate_e2e's persisted extraction boundary (same
+# lifecycle trade as textstats._last_tf — see that docstring)
+_last_curate_ext: DataFrame | None = None
+
+
+def _curate_e2e(s: SparkSession, d: str) -> DataFrame:
+    """Flagship curation pipeline — extract (plain+HTML transcript synth)
+    → fused ``curation_policy`` gate → ``stratified_sample`` by content
+    type — composed as ONE oracle-hashable query: the realistic shape of
+    a 100 TB training-data job (extract once, gate, rebalance the mix).
+
+    The extraction output is persisted (with an eager count) before the
+    policy's keep-set joins back against it: in production this boundary
+    is the warehouse write between the extract job and the curation job;
+    a cold self-join here would re-run the extraction kernels once per
+    plan branch (the measured mapInPandas self-join trap — see
+    operators/dedup.py). Downstream of the persist, the fused policy
+    reads the cached corpus once for the row-local gates plus the LM
+    branch, and the sample filter is map-only."""
+    global _last_curate_ext
+    from advanced_text_extraction_spark.operators import curation as C
+    from advanced_text_extraction_spark.operators import sampling as SMP
+
+    ext = _flagship_extracted(s, d, include_pdf=False).select(
+        F.concat(F.col("conv_id"), F.lit("#"),
+                 F.col("turn_idx").cast("string")).alias("doc_key"),
+        "content_type", "extracted_text").persist()
+    ext.count()
+    if _last_curate_ext is not None:
+        _last_curate_ext.unpersist()
+    _last_curate_ext = ext
+    pol = C.curation_policy(ext, "doc_key", "extracted_text")
+    kept = ext.join(pol.where(F.col("keep")).select("doc_key"), "doc_key")
+    out = SMP.stratified_sample(kept, "doc_key", "content_type",
+                                {"text": 0.5, "html": 0.8},
+                                default_rate=0.1, salt="cur")
+    return out.select("doc_key", "content_type", "sample_key")
 
 
 def _tpch_q1(s: SparkSession, d: str) -> DataFrame:
@@ -629,6 +678,137 @@ def _lang_hits(lang_words: list[str], col: str = "text") -> str:
     return f"len(regexp_extract_all(lower({col}), '{pat}'))"
 
 
+def _words_of(col: str) -> str:
+    """\\S+ run count over an arbitrary column (== Python len(split()))."""
+    return f"len(regexp_extract_all({col}, '\\S+'))"
+
+
+# ---- parameterized curation-oracle builders: the SAME SQL gates the
+# standalone operators (src='documents') AND composed pipelines like
+# curate_e2e (src=an extraction CTE) — parameterization instead of
+# string-replace derivation, so a formatting drift cannot silently
+# no-op (the line_dedup lesson, ADVICE r3) ----
+
+def _quality_sql(src: str = "documents", id_col: str = "doc_id",
+                 text_col: str = "text") -> str:
+    from advanced_text_extraction_spark.kernels.lang import STOPWORDS
+    en = sorted(STOPWORDS["en"])
+    t, w = text_col, _words_of(text_col)
+    hits = _lang_hits(en, col=t)
+    return f"""
+        SELECT {id_col},
+               round(len(regexp_extract_all({t}, '[A-Za-z]'))
+                     / (length({t}) + 1e-9), 6) AS alpha_ratio,
+               round(len(regexp_extract_all({t}, '[.,;:!?]'))
+                     / ({w} + 1e-9), 6) AS punct_ratio,
+               round({hits} / ({w} + 1e-9), 6) AS stop_ratio,
+               round(0.25 * least(1.0, length({t}) / 500.0)
+                   + 0.25 * (len(regexp_extract_all({t}, '[A-Za-z]'))
+                             / (length({t}) + 1e-9))
+                   + 0.25 * least(1.0, ({hits}
+                                  / ({w} + 1e-9)) * 4)
+                   + 0.25 * (1 - least(1.0,
+                       len(regexp_extract_all({t}, '[.,;:!?]'))
+                             / ({w} + 1e-9))), 6) AS quality
+        FROM {src}"""
+
+
+def _gopher_sql(src: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    from advanced_text_extraction_spark.operators.curation import (
+        GOPHER_STOPWORDS,
+    )
+    nw = _words_of("text")  # over the folded CTE's fixed column name
+    stop_sum = " + ".join(
+        f"CAST(regexp_matches(lower(text), '\\b{w}\\b') AS INT)"
+        for w in GOPHER_STOPWORDS)
+    return f"""
+        WITH folded AS (
+            -- fold line terminators to LF first, like the operator:
+            -- Java and RE2 disagree on what (?m) anchors to otherwise
+            SELECT {id_col} AS doc_id,
+                   regexp_replace(coalesce({text_col}, ''),
+                       '\\r\\n|[\\x{{0d}}\\x{{2028}}\\x{{2029}}]',
+                       chr(10), 'g') AS text
+            FROM {src}),
+        g AS (
+            SELECT doc_id,
+                   {nw} AS n_words,
+                   round(length(regexp_replace(text, '\\s', '', 'g'))
+                         / ({nw} + 1e-9), 6) AS mean_word_len,
+                   round(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                         / ({nw} + 1e-9), 6) AS symbol_ratio,
+                   len(regexp_extract_all(text, '(?m)^.*\\S')) AS n_nonblank,
+                   len(regexp_extract_all(text, '(?m)^\\s*[-*•]')) AS n_bul,
+                   len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…) *$'))
+                       AS n_ell,
+                   round(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))
+                         / ({nw} + 1e-9), 6) AS alpha_word_frac,
+                   CAST({stop_sum} AS BIGINT) AS stop_hits
+            FROM folded),
+        r AS (
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   round(n_bul / (n_nonblank + 1e-9), 6) AS bullet_frac,
+                   round(n_ell / (n_nonblank + 1e-9), 6) AS ellipsis_frac,
+                   alpha_word_frac, stop_hits
+            FROM g)
+        SELECT doc_id AS {id_col}, n_words, mean_word_len, symbol_ratio,
+               bullet_frac, ellipsis_frac, alpha_word_frac, stop_hits,
+               n_words BETWEEN 50 AND 100000 AS flag_words,
+               mean_word_len BETWEEN 3.0 AND 10.0 AS flag_mean_word_len,
+               symbol_ratio <= 0.1 AS flag_symbol_ratio,
+               bullet_frac <= 0.9 AS flag_bullet,
+               ellipsis_frac <= 0.3 AS flag_ellipsis,
+               alpha_word_frac >= 0.8 AS flag_alpha_words,
+               stop_hits >= 2 AS flag_stopwords,
+               (n_words BETWEEN 50 AND 100000)
+               AND (mean_word_len BETWEEN 3.0 AND 10.0)
+               AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+               AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+               AND stop_hits >= 2 AS gopher_keep
+        FROM r"""
+
+
+def _unigram_sql(src: str = "documents", id_col: str = "doc_id",
+                 text_col: str = "text") -> str:
+    return f"""
+        WITH raw AS (
+            SELECT {id_col} AS doc_id,
+                   unnest(string_split_regex(coalesce({text_col}, ''),
+                                             '\\s+')) AS token
+            FROM {src}),
+        toks AS (SELECT doc_id, token FROM raw WHERE token <> ''),
+        vocab AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+        tot AS (SELECT sum({_words_of(f"coalesce({text_col}, '')")})
+                       AS total FROM {src})
+        SELECT doc_id AS {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(CAST(sum(CAST(round(log10(CAST(n AS DOUBLE) / total), 12)
+                                   AS DECIMAL(28,12))) AS DOUBLE)
+                     / count(*), 6) AS mean_logprob
+        FROM toks JOIN vocab USING (token) CROSS JOIN tot
+        GROUP BY doc_id"""
+
+
+def _policy_sql(src: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """Composite curation gate: the three sub-oracles verbatim as CTEs —
+    the composition itself is the thing under test, each tier is already
+    hash-gated on its own (mirrors ``curation.curation_policy``)."""
+    return f"""
+        WITH g AS ({_gopher_sql(src, id_col, text_col)}),
+             q AS ({_quality_sql(src, id_col, text_col)}),
+             u AS ({_unigram_sql(src, id_col, text_col)})
+        SELECT g.{id_col},
+               (g.gopher_keep AND q.quality >= 0.3
+                AND coalesce(u.mean_logprob >= -4.0, FALSE)) AS keep,
+               concat_ws(',',
+                   CASE WHEN NOT g.gopher_keep THEN 'gopher' END,
+                   CASE WHEN NOT (q.quality >= 0.3) THEN 'quality' END,
+                   CASE WHEN NOT coalesce(u.mean_logprob >= -4.0, FALSE)
+                        THEN 'lm' END) AS reasons
+        FROM g JOIN q USING ({id_col}) LEFT JOIN u USING ({id_col})"""
+
+
 def oracle_sql() -> dict[str, str]:
     from advanced_text_extraction_spark.kernels.lang import STOPWORDS
 
@@ -681,6 +861,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, event_id, row_number() OVER (
             PARTITION BY user_id ORDER BY ts, event_id) AS seq
         FROM events"""
+
+    o["sessionize_batch"] = """
+        WITH v AS (
+            SELECT user_id, event_id, ts,
+                   length(coalesce(props, '')) AS nc,
+                   epoch_us(ts) AS us
+            FROM events WHERE ts IS NOT NULL),
+        f AS (
+            SELECT user_id, event_id, ts, nc,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > 14400000000
+                        THEN 1 ELSE 0 END AS ns
+            FROM v
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sx AS (
+            SELECT user_id, ts, nc,
+                   CAST(sum(ns) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS INT)
+                       AS session_idx
+            FROM f)
+        SELECT user_id, session_idx,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(nc) AS BIGINT) AS n_chars,
+               min(ts) AS first_ts, max(ts) AS last_ts
+        FROM sx GROUP BY user_id, session_idx"""
 
     o["token_stats"] = f"""
         SELECT doc_id, length(text) AS n_chars, {_WORDS_EXPR} AS n_words,
@@ -1202,23 +1408,7 @@ def oracle_sql() -> dict[str, str]:
                round(avg(v), 6) AS mean_intensity
         FROM px GROUP BY i, f"""
 
-    en = sorted(STOPWORDS["en"])
-    o["quality_score"] = f"""
-        SELECT doc_id,
-               round(len(regexp_extract_all(text, '[A-Za-z]'))
-                     / (length(text) + 1e-9), 6) AS alpha_ratio,
-               round(len(regexp_extract_all(text, '[.,;:!?]'))
-                     / ({_WORDS_EXPR} + 1e-9), 6) AS punct_ratio,
-               round({_lang_hits(en)} / ({_WORDS_EXPR} + 1e-9), 6) AS stop_ratio,
-               round(0.25 * least(1.0, length(text) / 500.0)
-                   + 0.25 * (len(regexp_extract_all(text, '[A-Za-z]'))
-                             / (length(text) + 1e-9))
-                   + 0.25 * least(1.0, ({_lang_hits(en)}
-                                  / ({_WORDS_EXPR} + 1e-9)) * 4)
-                   + 0.25 * (1 - least(1.0,
-                       len(regexp_extract_all(text, '[.,;:!?]'))
-                             / ({_WORDS_EXPR} + 1e-9))), 6) AS quality
-        FROM documents"""
+    o["quality_score"] = _quality_sql()
 
     # marker counts per language (SPEC.md §5): stopword \b-hits for the
     # Latin profiles, script-range char counts for the rest; ja = kana +
@@ -1460,54 +1650,7 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0 END, 6) AS dup_para_frac
         FROM s"""
 
-    nw = _WORDS_EXPR
-    stop_sum = " + ".join(
-        f"CAST(regexp_matches(lower(text), '\\b{w}\\b') AS INT)"
-        for w in GOPHER_STOPWORDS)
-    o["gopher_quality_flags"] = f"""
-        WITH folded AS (
-            -- fold line terminators to LF first, like the operator:
-            -- Java and RE2 disagree on what (?m) anchors to otherwise
-            SELECT doc_id,
-                   regexp_replace(coalesce(text, ''),
-                       '\\r\\n|[\\x{{0d}}\\x{{2028}}\\x{{2029}}]',
-                       chr(10), 'g') AS text
-            FROM documents),
-        g AS (
-            SELECT doc_id,
-                   {nw} AS n_words,
-                   round(length(regexp_replace(text, '\\s', '', 'g'))
-                         / ({nw} + 1e-9), 6) AS mean_word_len,
-                   round(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
-                         / ({nw} + 1e-9), 6) AS symbol_ratio,
-                   len(regexp_extract_all(text, '(?m)^.*\\S')) AS n_nonblank,
-                   len(regexp_extract_all(text, '(?m)^\\s*[-*•]')) AS n_bul,
-                   len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…) *$'))
-                       AS n_ell,
-                   round(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))
-                         / ({nw} + 1e-9), 6) AS alpha_word_frac,
-                   CAST({stop_sum} AS BIGINT) AS stop_hits
-            FROM folded),
-        r AS (
-            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
-                   round(n_bul / (n_nonblank + 1e-9), 6) AS bullet_frac,
-                   round(n_ell / (n_nonblank + 1e-9), 6) AS ellipsis_frac,
-                   alpha_word_frac, stop_hits
-            FROM g)
-        SELECT *,
-               n_words BETWEEN 50 AND 100000 AS flag_words,
-               mean_word_len BETWEEN 3.0 AND 10.0 AS flag_mean_word_len,
-               symbol_ratio <= 0.1 AS flag_symbol_ratio,
-               bullet_frac <= 0.9 AS flag_bullet,
-               ellipsis_frac <= 0.3 AS flag_ellipsis,
-               alpha_word_frac >= 0.8 AS flag_alpha_words,
-               stop_hits >= 2 AS flag_stopwords,
-               (n_words BETWEEN 50 AND 100000)
-               AND (mean_word_len BETWEEN 3.0 AND 10.0)
-               AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-               AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
-               AND stop_hits >= 2 AS gopher_keep
-        FROM r"""
+    o["gopher_quality_flags"] = _gopher_sql()
 
     o["decontaminate"] = _shingles + """,
         bench AS (SELECT DISTINCT shingle FROM shin WHERE doc_id % 41 = 0),
@@ -1633,21 +1776,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(start % 256 AS INT) AS seq_offset
         FROM c"""
 
-    o["unigram_logprob"] = f"""
-        WITH raw AS (
-            SELECT doc_id,
-                   unnest(string_split_regex(coalesce(text, ''),
-                                             '\\s+')) AS token
-            FROM documents),
-        toks AS (SELECT doc_id, token FROM raw WHERE token <> ''),
-        vocab AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
-        tot AS (SELECT sum({_WORDS_EXPR}) AS total FROM documents)
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-               round(CAST(sum(CAST(round(log10(CAST(n AS DOUBLE) / total), 12)
-                                   AS DECIMAL(28,12))) AS DOUBLE)
-                     / count(*), 6) AS mean_logprob
-        FROM toks JOIN vocab USING (token) CROSS JOIN tot
-        GROUP BY doc_id"""
+    o["unigram_logprob"] = _unigram_sql()
 
     # bigram tier: same 12dp-round → exact-decimal recipe; dn weight as
     # DECIMAL(8,0) keeps the product inside 38 digits (see operator)
@@ -1682,17 +1811,30 @@ def oracle_sql() -> dict[str, str]:
     # composite curation gate: the three sub-oracles verbatim as CTEs —
     # the composition itself is the thing under test, each tier is
     # already hash-gated on its own
-    o["curation_policy"] = f"""
-        WITH g AS ({o["gopher_quality_flags"]}),
-             q AS ({o["quality_score"]}),
-             u AS ({o["unigram_logprob"]})
-        SELECT g.doc_id,
-               (g.gopher_keep AND q.quality >= 0.3
-                AND coalesce(u.mean_logprob >= -4.0, FALSE)) AS keep,
-               concat_ws(',',
-                   CASE WHEN NOT g.gopher_keep THEN 'gopher' END,
-                   CASE WHEN NOT (q.quality >= 0.3) THEN 'quality' END,
-                   CASE WHEN NOT coalesce(u.mean_logprob >= -4.0, FALSE)
-                        THEN 'lm' END) AS reasons
-        FROM g JOIN q USING (doc_id) LEFT JOIN u USING (doc_id)"""
+    o["curation_policy"] = _policy_sql()
+
+    # flagship curation pipeline: the e2e extraction oracle feeds the
+    # SAME parameterized policy builder (src=the extracted corpus), then
+    # the md5-draw sample filter — extract → gate → rebalance, one hash
+    o["curate_e2e"] = f"""
+        WITH corpus AS (
+            SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_key,
+                   content_type, extracted_text
+            FROM ({o["extract_transcripts_e2e"]})),
+        pol AS ({_policy_sql("corpus", "doc_key", "extracted_text")}),
+        kept AS (
+            SELECT corpus.doc_key, corpus.content_type
+            FROM corpus JOIN pol USING (doc_key)
+            WHERE pol.keep),
+        drawn AS (
+            SELECT doc_key, content_type,
+                   CAST(('0x' || substr(md5(doc_key || ':cur'), 1, 8))
+                        AS BIGINT) AS sample_key
+            FROM kept)
+        SELECT doc_key, content_type, sample_key
+        FROM drawn
+        WHERE sample_key / 4294967296.0 <
+              (CASE WHEN content_type = 'html' THEN 0.8
+                    WHEN content_type = 'text' THEN 0.5
+                    ELSE 0.1 END)"""
     return o

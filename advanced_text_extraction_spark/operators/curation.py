@@ -112,7 +112,18 @@ def gopher_quality_flags(df: DataFrame, id_col: str,
     before \\r of CRLF and at lone \\r / U+2028/2029; RE2: '\\n' only),
     so CRLF corpora would otherwise count ellipsis/bullet lines
     differently per engine."""
-    c = F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+    cols = gopher_exprs(F.col(text_col))
+    return df.select(F.col(id_col),
+                     *[v.alias(k) for k, v in cols.items()])
+
+
+def gopher_exprs(text_col) -> dict:
+    """The Gopher signal/flag/keep column expressions over a raw text
+    COLUMN — the expression-level surface composite gates build on (see
+    ``textstats.quality_exprs``): everything here is row-local, so a
+    caller can stack it with other signals in ONE projection / one
+    corpus scan. Output order matches ``gopher_quality_flags``."""
+    c = F.regexp_replace(F.coalesce(text_col, F.lit("")),
                          "\r\n|[\r\u2028\u2029]", "\n")
     n_words = word_count(c)
     nonspace = F.length(F.regexp_replace(c, r"\s", ""))
@@ -149,18 +160,17 @@ def gopher_quality_flags(df: DataFrame, id_col: str,
     keep = None
     for f in flags.values():
         keep = f if keep is None else (keep & f)
-    return df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        sym_ratio.alias("symbol_ratio"),
-        bullet_frac.alias("bullet_frac"),
-        ellipsis_frac.alias("ellipsis_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        stop_hits.alias("stop_hits"),
-        *[v.alias(k) for k, v in flags.items()],
-        keep.alias("gopher_keep"),
-    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": sym_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        **flags,
+        "gopher_keep": keep,
+    }
 
 
 def decontaminate(df: DataFrame, bench: DataFrame, id_col: str,
@@ -275,7 +285,8 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
 
 def curation_policy(df: DataFrame, id_col: str, text_col: str,
                     min_quality: float = 0.3,
-                    min_logprob: float = -4.0) -> DataFrame:
+                    min_logprob: float = -4.0,
+                    fused: bool = True) -> DataFrame:
     """One keep/drop decision per document composing the three quality
     tiers this module family provides — the shape of a production
     curation gate (RefinedWeb/Gopher-style pipelines stack rule gates,
@@ -292,22 +303,34 @@ def curation_policy(df: DataFrame, id_col: str, text_col: str,
     oracle (which composes the three sub-oracles verbatim) hashes
     identically.
 
-    Scale shape: gopher + quality are row-local projections over the
-    same scan joined on the id (Spark plans two scans here; a fused
-    production variant would compute both in one projection — kept
-    separate so each tier stays independently testable/oracle-gated);
-    the LM tier joins in doc-keyed (already partitioned by its own
-    final aggregation). All joins are id-equi-joins, no new shuffle
-    classes."""
+    Scale shape (``fused=True``, the default — VERDICT r3 #2): gopher
+    keep and quality score are BOTH row-local, so they are computed in
+    ONE projection over one corpus scan; only the LM tier — intrinsically
+    corpus-wide (vocab fit) — is a separate branch, joined back doc-keyed
+    (already partitioned by its own final aggregation). ``fused=False``
+    keeps the three-way composition of the standalone operators (each
+    independently oracle-gated) — the test surface that pins
+    fused ≡ composed. All joins are id-equi-joins, no new shuffle
+    classes; fusing removes one full corpus scan AND the gopher⋈quality
+    equi-join (the LM branch keeps its own documented scan shape)."""
     from .sampling import unigram_logprob
-    from .textstats import quality_score
+    from .textstats import quality_exprs, quality_score
 
-    g = gopher_quality_flags(df, id_col, text_col) \
-        .select(id_col, "gopher_keep")
-    q = quality_score(df, id_col, text_col).select(id_col, "quality")
+    if fused:
+        g = df.select(
+            F.col(id_col),
+            gopher_exprs(F.col(text_col))["gopher_keep"]
+            .alias("gopher_keep"),
+            quality_exprs(F.col(text_col))["quality"].alias("quality"),
+        )
+    else:
+        g = gopher_quality_flags(df, id_col, text_col) \
+            .select(id_col, "gopher_keep") \
+            .join(quality_score(df, id_col, text_col)
+                  .select(id_col, "quality"), id_col)
     u = unigram_logprob(df, id_col, text_col) \
         .select(id_col, "mean_logprob")
-    j = g.join(q, id_col).join(u, id_col, "left")
+    j = g.join(u, id_col, "left")
     pass_q = F.col("quality") >= F.lit(min_quality)
     pass_lm = F.coalesce(
         F.col("mean_logprob") >= F.lit(min_logprob), F.lit(False))

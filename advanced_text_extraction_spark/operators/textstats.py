@@ -42,11 +42,11 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Length / punctuation / stopword / alpha ratios → [0,1] score.
-    Deterministic linear blend (each ratio rounded before the blend so the
-    SQL oracle reproduces it bit-for-bit)."""
-    c = F.col(text_col)
+def quality_exprs(c) -> dict:
+    """The quality-score column expressions over a text COLUMN (not a
+    DataFrame) — the expression-level surface that lets composite gates
+    (``curation.curation_policy`` fused mode) compute quality inside the
+    SAME projection as other row-local signals, one corpus scan total."""
     n = char_count(c)
     # raw (unrounded) ratios feed the blend — summing pre-rounded values
     # lands exactly on 6dp rounding boundaries where engines disagree
@@ -61,13 +61,21 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         0.25 * len_score + 0.25 * alpha_raw
         + 0.25 * F.least(F.lit(1.0), stop_raw * 4)
         + 0.25 * (1 - F.least(F.lit(1.0), punct_raw)), 6)
-    return df.select(
-        F.col(id_col),
-        F.round(alpha_raw, 6).alias("alpha_ratio"),
-        F.round(punct_raw, 6).alias("punct_ratio"),
-        F.round(stop_raw, 6).alias("stop_ratio"),
-        score.alias("quality"),
-    )
+    return {
+        "alpha_ratio": F.round(alpha_raw, 6),
+        "punct_ratio": F.round(punct_raw, 6),
+        "stop_ratio": F.round(stop_raw, 6),
+        "quality": score,
+    }
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword / alpha ratios → [0,1] score.
+    Deterministic linear blend (each ratio rounded before the blend so the
+    SQL oracle reproduces it bit-for-bit)."""
+    cols = quality_exprs(F.col(text_col))
+    return df.select(F.col(id_col),
+                     *[v.alias(k) for k, v in cols.items()])
 
 
 def lang_id_sql(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -27,6 +27,59 @@ def with_turn_seq(df: DataFrame) -> DataFrame:
     return df.withColumn("turn_seq", F.row_number().over(w))
 
 
+def sessionize_batch(df: DataFrame, conv_col: str = "conv_id",
+                     ts_col: str = "ts", text_col: str = "text",
+                     gap_ms: int = 10 * 60 * 1000,
+                     tiebreak_col: str | None = None) -> DataFrame:
+    """Batch gap-sessionization — the bounded-input twin of
+    ``streaming.extract_stream.sessionize_conversations``: identical
+    session semantics (a session closes when no turn arrives within
+    ``gap_ms`` of event time; null-``ts`` turns carry no event time and
+    are dropped), expressed as Catalyst window algebra. Per conversation
+    in event-time order, a turn whose gap from its predecessor exceeds
+    ``gap_ms`` starts a new session; bounded input means every session
+    closes. Output: one row per (conv, session_idx) with turn count,
+    char count and first/last event time — the same aggregate contract
+    the streaming operator's state accumulates
+    (``tests/test_streaming.py`` pins batch ≡ streaming on a shared
+    fixture, and the driver's DuckDB oracle hash-gates THIS operator, so
+    the sessionization semantics hold a hard correctness row).
+
+    Scale shape: ONE exchange, on the conversation key. Both window
+    functions (lag + running flag-sum) and the final groupBy reuse it —
+    HashPartitioning(conv) satisfies the aggregation's clustered
+    distribution over (conv, session_idx) — so adding the aggregate
+    costs no second shuffle. The per-conversation sort is
+    partition-local; the hot-key bound is one conversation's turn
+    count, exactly the bound the streaming state store holds."""
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(conv_col).orderBy(*order)
+    # cast covers TIMESTAMP_NTZ inputs (unix_micros rejects them); the
+    # session-tz shift it may introduce is a constant offset, and only
+    # DIFFERENCES of the value are used
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    new_sess = (prev_us.isNull()
+                | (us - prev_us > gap_ms * 1000)).cast("int")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(F.col(conv_col), *[F.col(c) for c in order[1:]],
+                F.col(ts_col),
+                F.length(F.coalesce(F.col(text_col), F.lit("")))
+                .alias("_n_chars"))
+        .withColumn("session_idx",
+                    F.sum(new_sess).over(wcum).cast("int"))
+    )
+    return (
+        sess.groupBy(conv_col, "session_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+             F.sum("_n_chars").cast("long").alias("n_chars"),
+             F.min(ts_col).alias("first_ts"),
+             F.max(ts_col).alias("last_ts"))
+    )
+
+
 def latest_per_key(df: DataFrame, key: str, order_col: str) -> DataFrame:
     """W1 — newest row per key (reference cache probe ORDER BY timestamp
     DESC LIMIT 1, /root/reference/text_extractor.py:1049-1054)."""

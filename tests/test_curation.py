@@ -156,3 +156,30 @@ def test_curation_policy_composes_gates(spark):
     # fixed order: any multi-failure lists gopher before quality before lm
     r2 = out[2]["reasons"].split(",")
     assert r2 == sorted(r2, key=["gopher", "quality", "lm"].index)
+
+
+def test_curation_policy_fused_matches_composed(spark):
+    """The fused single-projection gate plan (default) must be value-
+    identical to the composition of the three standalone oracle-gated
+    operators — and must plan exactly TWO scans of the input (gates +
+    the intrinsically corpus-wide LM branch) where the composed form
+    plans three (VERDICT r3 #2)."""
+    from advanced_text_extraction_spark.operators.curation import \
+        curation_policy
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fused = curation_policy(docs, "doc_id", "text", fused=True)
+    composed = curation_policy(docs, "doc_id", "text", fused=False)
+    assert sorted(map(tuple, fused.collect())) == \
+        sorted(map(tuple, composed.collect()))
+
+    def n_scans(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("Relation") + plan.count("LogicalRDD")
+
+    # the LM branch intrinsically references the corpus 3x (tokens,
+    # vocab-from-tokens, map-only total — see unigram_logprob's scale
+    # note); the fused form collapses the two row-local gate tiers to
+    # ONE additional scan, the composed form pays two
+    assert n_scans(fused) == n_scans(composed) - 1
+    assert n_scans(fused) == 4

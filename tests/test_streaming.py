@@ -218,3 +218,66 @@ def test_sessionizer_null_ts_after_watermark_advance(spark, tmp_path):
     closed = {r.conv_id: r for r in spark.read.parquet(out).collect()}
     assert "A" in closed and closed["A"].closed
     assert closed["A"].n_turns == 1  # the null-ts turn was dropped
+
+
+def test_sessionize_batch_matches_streaming_sessionizer(spark, tmp_path):
+    """Batch ≡ streaming on one fixture: the closed sessions the
+    streaming operator emits must be exactly what ``sessionize_batch``
+    computes for those conversations over the same rows (same gap).
+    The batch operator is driver-oracle-gated, so this parity
+    transitively hard-gates the streaming state semantics — including a
+    conversation that closes and RE-OPENS (A gets two sessions).
+    Watermark-advancing batches sit between A's sessions because the
+    event-time timeout only fires at a trigger whose watermark passed
+    last_ts+gap — replayed in event-time order (the contract both tiers
+    share), the session splits are then identical."""
+    from datetime import datetime, timezone
+
+    from advanced_text_extraction_spark.operators.windows import \
+        sessionize_batch
+
+    def ts(mins):
+        return datetime(2026, 1, 1, tzinfo=timezone.utc) \
+            + pd.Timedelta(minutes=mins)
+
+    gap = 5 * 60 * 1000
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    batches = [
+        [("A", 0, "user", "hello there", None, ts(0)),
+         ("A", 1, "assistant", "hi!", None, ts(1)),
+         ("B", 0, "user", "xxxx", None, ts(2)),
+         ("B", 1, "assistant", None, None, ts(3))],  # null text counts 0
+        # E advances the watermark past A's and B's gap -> both close
+        [("E", 0, "user", "tick", None, ts(30))],
+        # A re-opens: a second session for a closed conversation
+        [("A", 2, "user", "round two", None, ts(60)),
+         ("A", 3, "assistant", "yes", None, ts(62)),
+         ("C", 0, "user", "zzz", None, ts(180))],
+        # D pushes the watermark past everything still open
+        [("D", 0, "user", "watermark push", None, ts(600))],
+    ]
+    for i, rows in enumerate(batches):
+        _write_turns(inp / f"b{i}.parquet", rows)
+        q = ST.start_sessionizer(spark, str(inp), out, ckpt, gap_ms=gap)
+        q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out)
+    got = {(r.conv_id, r.first_ts): (r.n_turns, r.n_chars, r.last_ts)
+           for r in streamed.collect()}
+    # A closed twice (gap between ts(1) and ts(60)); B, C, E once each;
+    # D is still open
+    assert len(got) == 5 and all(r.closed for r in streamed.collect())
+    assert sum(1 for k in got if k[0] == "A") == 2
+
+    batch_df = spark.createDataFrame(
+        pd.DataFrame([r for rows in batches for r in rows],
+                     columns=["conv_id", "turn_idx", "role", "text",
+                              "tool", "ts"]))
+    closed_convs = {"A", "B", "C", "E"}
+    want = {(r.conv_id, r.first_ts): (r.n_turns, r.n_chars, r.last_ts)
+            for r in sessionize_batch(batch_df, "conv_id", "ts", "text",
+                                      gap_ms=gap).collect()
+            if r.conv_id in closed_convs}
+    assert got == want
