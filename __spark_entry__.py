@@ -1424,8 +1424,15 @@ def oracle_sql() -> dict[str, str]:
     for lang, ranges in SCRIPTS.items():
         hits[lang] = ("len(regexp_extract_all(coalesce(text, ''), "
                       f"'{script_char_class(ranges)}'))")
-    hits["ja"] = (f"({hits['ja']} + CASE WHEN {hits['ja']} >= 2 "
-                  f"THEN {hits['zh']} ELSE 0 END)")
+    # script-sharing tier (kernels/lang.py BOOSTS): distinctive-pattern
+    # count on the lowered text + base-script count iff >= 2 (ja's
+    # pattern is None: its kana SCRIPTS count plays that role)
+    from advanced_text_extraction_spark.kernels.lang import BOOSTS
+    for lang, (base, pat) in BOOSTS.items():
+        own = hits[lang] if pat is None else (
+            f"len(regexp_extract_all(lower(coalesce(text, '')), '{pat}'))")
+        hits[lang] = (f"({own} + CASE WHEN {own} >= 2 "
+                      f"THEN {hits[base]} ELSE 0 END)")
     hit_cols = ",\n                   ".join(
         f"{expr} AS h_{lang}" for lang, expr in sorted(hits.items()))
     best = "greatest(" + ", ".join(f"h_{k}" for k in sorted(hits)) + ")"

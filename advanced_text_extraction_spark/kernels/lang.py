@@ -6,17 +6,19 @@ Replaces the reference's langdetect calls
 (/root/reference/text_extractor.py:480-488,751-759,1076-1084) — langdetect
 is seed-unstable, so the engine and the test oracle share this SPEC (not
 this code) to make the equality gate meaningful. ``'unknown'`` fallback
-semantics preserved from text_extractor.py:1076-1084. Breadth (r2 VERDICT
-gap #2) follows langdetect's coverage of the top web languages: 17
-Latin-script profiles + 9 script-detected languages (26 total).
+semantics preserved from text_extractor.py:1076-1084. Breadth (r2/r3
+VERDICT gap #2) follows langdetect's coverage of the top web languages:
+20 Latin-script stopword profiles + 16 script-detected languages + 4
+script-sharing languages split by distinctive markers (40 total).
 
 Scoring is ONE uniform rule so every tier (this kernel, the codegen'd SQL
 twin in operators/textstats.py, the DuckDB oracle) can reproduce it:
 each language has a marker count — stopword-token hits for Latin-script
 languages, characters inside the script's Unicode ranges for script
-languages (Japanese = kana count, plus the Han count iff kana ≥ 2, since
-Japanese prose is majority kanji but Chinese prose carries no kana) —
-and the result is the argmax if the max is ≥ 2, ties broken
+languages, a distinctive-pattern count for script-SHARING languages
+(uk/mk/bg over Cyrillic, fa over Arabic, and Japanese kana over Han)
+which additionally absorbs the base script's count iff it is ≥ 2 (see
+BOOSTS) — and the result is the argmax if the max is ≥ 2, ties broken
 alphabetically, else 'unknown'.
 """
 
@@ -102,6 +104,21 @@ STOPWORDS: dict[str, frozenset[str]] = {
         "hogy nem egy volt mint csak vagy azonban minden ezek még "
         "már".split()
     ),
+    # --- tier 3 (r3 VERDICT gap #2): ms-vs-id split + two more Latin
+    # profiles. Marker words are chosen to be ABSENT from the sibling
+    # language's formal register (ms "kerana" vs id "karena"), but the
+    # siblings share most vocabulary — colloquial overlap can leak a few
+    # hits; the sibling's own marker count dominates on real prose.
+    "ms": frozenset(
+        "kerana selepas ialah sahaja boleh awak hendak pula".split()
+    ),
+    "ca": frozenset(
+        "amb els dels aquest aquesta fins doncs seva molts "
+        "aquestes".split()
+    ),
+    "hr": frozenset(
+        "koji koja koje kao samo nije kada zbog prema".split()
+    ),
 }
 
 # Script-range marker languages: count of characters inside the ranges.
@@ -110,14 +127,46 @@ STOPWORDS: dict[str, frozenset[str]] = {
 # narrow so a stray typographic character can't mislabel a document.
 SCRIPTS: dict[str, tuple[tuple[int, int], ...]] = {
     "ar": ((0x0600, 0x06FF),),                    # Arabic
+    "bn": ((0x0980, 0x09FF),),                    # Bengali
     "el": ((0x0370, 0x03FF),),                    # Greek
+    "gu": ((0x0A80, 0x0AFF),),                    # Gujarati
     "he": ((0x0590, 0x05FF),),                    # Hebrew
     "hi": ((0x0900, 0x097F),),                    # Devanagari
     "ja": ((0x3040, 0x30FF),),                    # Hiragana + Katakana
+    "kn": ((0x0C80, 0x0CFF),),                    # Kannada
     "ko": ((0x1100, 0x11FF), (0xAC00, 0xD7AF)),   # Hangul jamo + syllables
+    "ml": ((0x0D00, 0x0D7F),),                    # Malayalam
+    "pa": ((0x0A00, 0x0A7F),),                    # Gurmukhi (Punjabi)
     "ru": ((0x0400, 0x04FF),),                    # Cyrillic
+    "ta": ((0x0B80, 0x0BFF),),                    # Tamil
+    "te": ((0x0C00, 0x0C7F),),                    # Telugu
     "th": ((0x0E00, 0x0E7F),),                    # Thai
     "zh": ((0x4E00, 0x9FFF),),                    # CJK Unified (Han)
+}
+
+# Script-SHARING languages (tier 3): each is detected by a distinctive
+# marker PATTERN counted on the lowered text (plain regex — Java regex
+# and RE2 read every construct here identically), and its score is that
+# count PLUS the base script language's count iff the count is ≥ 2 (the
+# generalization of the long-standing Japanese kana/Han rule): the
+# distinctive markers prove the language, the shared-script mass then
+# outvotes the base. The base language's text contains (essentially)
+# none of the markers, so it never gets boosted away.
+#   uk: і/є/ї/ґ exist in Ukrainian but not Russian or Bulgarian
+#       (Belarusian also uses і — be stays out of scope, documented).
+#   mk: ѓ/ќ/ѕ are Macedonian-only among the supported set.
+#   bg: Bulgarian has no unique LETTERS vs Russian; the masculine
+#       definite article 'ът' and high-frequency function words are
+#       effectively absent from Russian (ъ precedes iotated vowels
+#       there, never т).
+#   fa: Persian-only letters پ چ ژ گ + Persian yeh ی / keheh ک (Arabic
+#       uses ي/ك; Urdu shares these — ur stays out of scope, documented).
+BOOSTS: dict[str, tuple[str, str]] = {
+    "ja": ("zh", None),  # kana count comes from SCRIPTS, not a pattern
+    "uk": ("ru", "[єіїґ]"),
+    "mk": ("ru", "[ѓќѕ]"),
+    "bg": ("ru", "ът|защото|обаче|според"),
+    "fa": ("ar", "[پچژگکی]"),
 }
 
 # precompiled per-script character classes — C-speed counting; this runs
@@ -127,22 +176,31 @@ _SCRIPT_RES: dict[str, re.Pattern] = {
         "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in ranges) + "]")
     for lang, ranges in SCRIPTS.items()
 }
+_BOOST_RES: dict[str, re.Pattern] = {
+    lang: re.compile(pat) for lang, (_, pat) in BOOSTS.items()
+    if pat is not None
+}
 
 _MIN_HITS = 2
 
 
 def detect_language(text: str) -> str:
     """argmax of marker counts (stopword hits for Latin profiles, script
-    chars for script profiles, Japanese = kana + Han-iff-kana≥2), ties
-    alphabetical, max < 2 → 'unknown'."""
+    chars for script profiles, distinctive-pattern counts boosted by the
+    shared-script base iff ≥ 2 — see BOOSTS), ties alphabetical,
+    max < 2 → 'unknown'."""
     if not text:
         return "unknown"
+    lowered = text.lower()
     scores: dict[str, int] = {
         lang: len(rx.findall(text)) for lang, rx in _SCRIPT_RES.items()
     }
-    if scores["ja"] >= _MIN_HITS:
-        scores["ja"] += scores["zh"]
-    tokens = _TOKEN_RE.findall(text.lower())
+    for lang, rx in _BOOST_RES.items():
+        scores[lang] = len(rx.findall(lowered))
+    for lang, (base, _) in BOOSTS.items():
+        if scores[lang] >= _MIN_HITS:
+            scores[lang] += scores[base]
+    tokens = _TOKEN_RE.findall(lowered)
     for lang in STOPWORDS:
         scores[lang] = sum(1 for tok in tokens if tok in STOPWORDS[lang])
     best_lang, best_hits = "unknown", 0

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import char_count, line_count, word_count
-from ..kernels.lang import SCRIPTS, STOPWORDS
+from ..kernels.lang import BOOSTS, SCRIPTS, STOPWORDS
 
 
 def script_char_class(ranges: tuple[tuple[int, int], ...]) -> str:
@@ -102,9 +102,14 @@ def lang_id_sql(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for lang, ranges in SCRIPTS.items():
         hit_cols[lang] = F.regexp_count(
             c, F.lit(script_char_class(ranges)))
-    # Japanese prose is majority kanji; Chinese prose carries no kana
-    hit_cols["ja"] = hit_cols["ja"] + F.when(
-        hit_cols["ja"] >= 2, hit_cols["zh"]).otherwise(F.lit(0))
+    # script-sharing tier (kernels/lang.py BOOSTS): distinctive-pattern
+    # count on the lowered text, plus the base script's count iff ≥ 2
+    # (ja's pattern is None: kana count from SCRIPTS plays that role)
+    for lang, (base, pat) in BOOSTS.items():
+        if pat is not None:
+            hit_cols[lang] = F.regexp_count(lowered, F.lit(pat))
+        hit_cols[lang] = hit_cols[lang] + F.when(
+            hit_cols[lang] >= 2, hit_cols[base]).otherwise(F.lit(0))
     out = df.select(F.col(id_col),
                     *[v.alias(f"hits_{k}")
                       for k, v in sorted(hit_cols.items())])

@@ -299,3 +299,46 @@ def test_pdf_endobj_inside_flate_stream_survives():
     raw = build_pdf([["sturdy object scan test line indeed"]], random.Random(3), flate=True)
     text, _, _, _ = extract_pdf(raw)
     assert "sturdy object scan" in text
+
+
+def test_lang_tier3_indic_scripts():
+    # one sample per tier-3 Indic/Gurmukhi script language
+    assert detect_language("এটি একটি বাংলা পাঠ্য") == "bn"
+    assert detect_language("આ એક ગુજરાતી લખાણ છે") == "gu"
+    assert detect_language("ಇದು ಕನ್ನಡ ಪಠ್ಯವಾಗಿದೆ") == "kn"
+    assert detect_language("ഇതൊരു മലയാളം വാചകമാണ്") == "ml"
+    assert detect_language("ਇਹ ਇੱਕ ਪੰਜਾਬੀ ਲਿਖਤ ਹੈ") == "pa"
+    assert detect_language("இது ஒரு தமிழ் உரை") == "ta"
+    assert detect_language("ఇది ఒక తెలుగు వచనం") == "te"
+    # Devanagari stays hi (mr/ne share the script — out of scope)
+    assert detect_language("यह हिंदी में एक पाठ है") == "hi"
+
+
+def test_lang_tier3_script_sharing_boosts():
+    """uk/mk/bg vs ru and fa vs ar: the distinctive-marker count absorbs
+    the shared-script mass iff >= 2, so the shared chars outvote the base
+    exactly when the language is proven (kernels/lang.py BOOSTS)."""
+    assert detect_language(
+        "Це український текст із літерами і також її мова") == "uk"
+    assert detect_language(
+        "Градът е хубав защото езикът също е красив") == "bg"
+    assert detect_language(
+        "Ова е македонски јазик со буквите ѓердан и ќерка и ѕвезда") == "mk"
+    # Russian carries none of the uk/mk/bg markers — never boosted away
+    assert detect_language("Это русский текст про язык и слова") == "ru"
+    assert detect_language(
+        "این یک متن فارسی است که با گچپژ نوشته شده") == "fa"
+    assert detect_language("هذا نص عربي قصير عن اللغة") == "ar"
+    # ONE stray marker char stays under the >=2 proof threshold
+    assert detect_language("Это русский текст і про язык и слова") == "ru"
+
+
+def test_lang_tier3_latin_profiles():
+    assert detect_language(
+        "saya boleh pergi kerana awak hendak datang selepas itu") == "ms"
+    assert detect_language(
+        "yang dan dengan untuk dari ini itu tidak akan pada") == "id"
+    assert detect_language(
+        "amb els amics dels pobles aquest dia aquesta nit") == "ca"
+    assert detect_language("el perro y los gatos por la casa") == "es"
+    assert detect_language("ovo je tekst koji koja koje kao samo nije") == "hr"
