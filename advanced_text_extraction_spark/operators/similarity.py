@@ -192,9 +192,42 @@ def seed_centroids(df: DataFrame, n_cells: int = 16,
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
+def _kmeans_partials(df: DataFrame, centroids: list[list[float]],
+                     vec_col: str) -> DataFrame:
+    """One Arrow pass emitting per-(batch, cell) partial sums for a
+    Lloyd's step: (cell, n, s[dim]). ≤ batches × C tiny rows — the
+    driver finishes the means in numpy. Replaces the posexplode →
+    groupBy(cell, dim) exchange (corpus × dim rows) with a map-only job
+    whose output is O(KB)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+
+    def partials(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            Xn = np.linalg.norm(X, axis=1)
+            sim = (X @ C.T) / (np.outer(Xn, Cn) + _EPS)
+            cell = np.round(sim, 6).argmax(axis=1)
+            rows = []
+            for c in np.unique(cell):
+                m = cell == c
+                rows.append({"cell": int(c), "n": int(m.sum()),
+                             "s": X[m].sum(axis=0).tolist()})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(partials, "cell int, n long, s array<double>")
+
+
 def train_centroids(df: DataFrame, n_cells: int = 16, n_iter: int = 5,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> list[list[float]]:
+                    vec_col: str = "embedding",
+                    kernel: bool = False) -> list[list[float]]:
     """Lloyd's k-means over the embedding column — the "offline training
     job" the IVF docstrings reference, as a real DataFrame loop:
 
@@ -209,7 +242,16 @@ def train_centroids(df: DataFrame, n_cells: int = 16, n_iter: int = 5,
     Lloyd's convention). Deterministic: seeded from seed_centroids and
     every step is exact arithmetic + 6dp-rounded assignment.
 
-    Returned as plain lists — feed straight into ivf_assign/ivf_topk."""
+    Returned as plain lists — feed straight into ivf_assign/ivf_topk.
+
+    ``kernel=True`` swaps both per-iteration jobs for ONE Arrow/numpy
+    partials pass (``_kmeans_partials``) — the corpus-scale tier: the
+    expression path costs C interpreted HOF dots per row for the assign
+    plus a corpus × dim exchange for the means (see ivf_assign's cost
+    note); the kernel path is map-only with O(KB) output. Means may
+    differ from the expression tier in the last ulp (numpy pairwise
+    summation vs sequential JVM fold + per-dim avg) — contract-equal,
+    pinned by test on real data."""
     cents = seed_centroids(df, n_cells, id_col, vec_col)
     if not cents:
         # fail loudly up front: an empty seed would reach ivf_assign with
@@ -218,20 +260,37 @@ def train_centroids(df: DataFrame, n_cells: int = 16, n_iter: int = 5,
         raise ValueError("train_centroids: input has no vectors to train on")
     dim = len(cents[0])
     for _ in range(n_iter):
-        assigned = ivf_assign(df, cents, id_col, vec_col)
-        means = (
-            assigned.select("cell", F.posexplode(F.col(vec_col))
-                            .alias("dim", "x"))
-            .groupBy("cell", "dim").agg(F.avg("x").alias("m"))
-            .collect()
-        )
         new = [list(c) for c in cents]  # empty cells keep old centroid
-        by_cell: dict[int, list[float]] = {}
-        for r in means:
-            by_cell.setdefault(int(r["cell"]),
-                               [0.0] * dim)[int(r["dim"])] = float(r["m"])
-        for c, vec in by_cell.items():
-            new[c] = vec
+        if kernel:
+            # corpus-scale tier: one Arrow pass of per-batch partials
+            # (see _kmeans_partials / ivf_assign_kernel cost note),
+            # means finished driver-side in numpy
+            import numpy as np
+            acc_n = [0] * n_cells
+            acc_s = [None] * n_cells
+            for r in _kmeans_partials(df, cents, vec_col).collect():
+                c = int(r["cell"])
+                acc_n[c] += int(r["n"])
+                s = np.asarray(r["s"], dtype=np.float64)
+                acc_s[c] = s if acc_s[c] is None else acc_s[c] + s
+            for c in range(n_cells):
+                if acc_n[c]:
+                    new[c] = (acc_s[c] / acc_n[c]).tolist()
+        else:
+            assigned = ivf_assign(df, cents, id_col, vec_col)
+            means = (
+                assigned.select("cell", F.posexplode(F.col(vec_col))
+                                .alias("dim", "x"))
+                .groupBy("cell", "dim").agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            by_cell: dict[int, list[float]] = {}
+            for r in means:
+                by_cell.setdefault(
+                    int(r["cell"]),
+                    [0.0] * dim)[int(r["dim"])] = float(r["m"])
+            for c, vec in by_cell.items():
+                new[c] = vec
         if new == cents:
             break  # fixpoint
         cents = new
@@ -262,25 +321,67 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     ties to the smaller cell id — scores rounded to 6dp so the argmax is
     bit-stable across engines).
 
-    All JVM-side column algebra: C dot products per row inside whole-stage
-    codegen, no shuffle, no Python. At rest, write the table partitioned/
-    bucketed by ``cell`` — probes then prune partitions instead of
-    scanning (the IVF inverted list, expressed as Spark storage layout)."""
+    All JVM-side column algebra: C dot products per row, no shuffle, no
+    Python. At rest, write the table partitioned/bucketed by ``cell`` —
+    probes then prune partitions instead of scanning (the IVF inverted
+    list, expressed as Spark storage layout).
+
+    COST NOTE: the ``aggregate``/``zip_with`` dot products are
+    interpreted HOF expressions (~17 µs per dot at dim 64), so this tier
+    costs ~C × 17 µs per row — fine for probe-sized C or small corpora,
+    ~18 min/pass at 1M rows × 64 cells. For training/index builds at
+    corpus scale use ``ivf_assign_kernel`` (one BLAS matmul per Arrow
+    batch, same contract); this expression tier stays the driver-gated
+    reference semantics."""
     best = F.array_max(_cell_scores(centroids, vec_col))
     return df.withColumn("cell", (-best["negcell"]).cast("int"))
 
 
-def ivf_topk(df: DataFrame, query: list[float],
-             centroids: list[list[float]], nprobe: int = 4, k: int = 10,
-             id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """IVF probe: rank cells by query-to-centroid cosine (driver-side,
-    O(C·dim)), scan only the top ``nprobe`` cells, exact-rescore those
-    candidates, TakeOrdered top-k.
+def ivf_assign_kernel(df: DataFrame, centroids: list[list[float]],
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Arrow/numpy tier of ``ivf_assign`` for corpus-scale training and
+    index builds: same contract (6dp-rounded cosine argmax, ties to the
+    smaller cell — numpy argmax returns the first maximum, i.e. the
+    smaller index), one (batch × C) BLAS matmul per Arrow batch instead
+    of C interpreted HOF dots per row (~700× less per-row overhead at
+    C=64; measured in BENCH/last_ann.json). Map-only, zero shuffles —
+    the playbook pattern from operators/dedup.py's sketch kernels.
 
-    Recall/cost dial: nprobe/C of the corpus is scanned (vs 1 bucket for
-    sign-LSH, vs all for brute force). The cell filter is an IN predicate
-    on the assignment — partition pruning on a cell-partitioned table."""
+    Float caveat: numpy's SIMD/pairwise summation can differ from the
+    JVM tier's sequential fold in the last ulp; the 6dp rounding absorbs
+    it except exactly AT a rounding boundary, so the two tiers are
+    contract-equal, not bit-proven — tests pin agreement on real data,
+    the driver gate runs the expression tier."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", cell int"
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            if not len(pdf):
+                continue
+            Xn = np.linalg.norm(X, axis=1)
+            sim = (X @ C.T) / (np.outer(Xn, Cn) + _EPS)
+            pdf = pdf.copy()
+            pdf["cell"] = np.round(sim, 6).argmax(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
+def probe_cells(query: list[float], centroids: list[list[float]],
+                nprobe: int) -> list[int]:
+    """The cells an IVF probe scans: top-``nprobe`` centroids by cosine
+    to the query, ties to the smaller cell id (driver-side, O(C·dim) —
+    the model is KBs). Public so serving layers / benches can locate the
+    physical partitions a query touches."""
     import math
 
     def cos(a: list[float], b: list[float]) -> float:
@@ -291,10 +392,31 @@ def ivf_topk(df: DataFrame, query: list[float],
 
     ranked = sorted(range(len(centroids)),
                     key=lambda c: (-cos(query, centroids[c]), c))
-    probe = sorted(ranked[:nprobe])
+    return sorted(ranked[:nprobe])
+
+
+def ivf_topk(df: DataFrame, query: list[float],
+             centroids: list[list[float]], nprobe: int = 4, k: int = 10,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             assigned: bool = False) -> DataFrame:
+    """IVF probe: rank cells by query-to-centroid cosine (driver-side,
+    O(C·dim)), scan only the top ``nprobe`` cells, exact-rescore those
+    candidates, TakeOrdered top-k.
+
+    Recall/cost dial: nprobe/C of the corpus is scanned (vs 1 bucket for
+    sign-LSH, vs all for brute force). The cell filter is an IN predicate
+    on the assignment — with ``assigned=True`` the input already carries
+    its ``cell`` column (the at-rest layout: ``ivf_assign`` output
+    written ``partitionBy("cell")``), so Catalyst turns the IN into
+    PARTITION PRUNING and the probe reads only nprobe/C of the files —
+    the 100 TB serving path, evidenced at 1M vectors in
+    ``BENCH/last_ann.json``. ``assigned=False`` recomputes the
+    assignment inline (one codegen'd map pass; the ad-hoc path)."""
+    probe = probe_cells(query, centroids, nprobe)
+    src = df if assigned else ivf_assign(df, centroids, id_col, vec_col)
     return (
-        ivf_assign(df, centroids, id_col, vec_col)
-        .filter(F.col("cell").isin(probe))
+        src.filter(F.col("cell").isin(probe))
         .transform(lambda d: with_cosine(d, query, vec_col))
         .select(id_col, "cell", "cos_sim")
         .orderBy(F.desc("cos_sim"), F.col(id_col))

@@ -135,6 +135,31 @@ AUDIT = [
      "whose build side is unique per key, so probe-side skew splits "
      "under AQE; per-doc agg), plus a 1-row broadcast total computed "
      "MAP-ONLY from word_count, not by re-running the vocab agg"),
+    ("sessionize_batch",
+     "windows tier: gap sessionization (r4) — ONE exchange on the "
+     "conversation key shared by BOTH window functions (lag + running "
+     "flag-sum, same partitioning/ordering → one sort) AND the final "
+     "aggregate: HashPartitioning(conv) satisfies the clustered "
+     "distribution over (conv, session_idx), so the partial+final "
+     "HashAggregate sits directly above the windows with NO second "
+     "exchange. Per-conv sort is partition-local; hot-key bound = one "
+     "conversation's turns, the same bound the streaming state holds"),
+    ("curation_policy",
+     "curation tier FUSED (r4 VERDICT #2): gopher keep + quality score "
+     "computed in ONE codegen'd projection over ONE scan of documents "
+     "(the r3 shape scanned twice and joined on id); only the "
+     "intrinsically corpus-wide LM branch (unigram vocab fit) scans "
+     "again, joining back doc-keyed. Expect exactly one scan feeding "
+     "the gate projection plus the LM branch's documented three"),
+    ("curate_e2e",
+     "flagship curation pipeline (r4 VERDICT #6): extract -> fused "
+     "policy -> stratified sample as ONE query. The extraction output "
+     "is persisted (eager count) at the extract/curate boundary — the "
+     "warehouse write in production — so every downstream branch reads "
+     "InMemoryTableScan and the mapInPandas extraction kernel runs "
+     "ONCE (a cold plan would re-run it per branch: gates, LM tokens, "
+     "LM total, join-back). Sample filter is map-only on top of the "
+     "keep-join; no new shuffle classes beyond the policy's own"),
 ]
 
 
@@ -264,6 +289,41 @@ def main() -> int:
         "",
         "```", formatted(_cc_round(sym, labels)), "```", "",
     ]
+
+    # IVF probe over the AT-REST cell-partitioned index (r4 VERDICT #4):
+    # the cell IN-list must appear as PartitionFilters — metadata-only
+    # partition pruning, the 100 TB serving path benchmarked at 1M
+    # vectors in BENCH/last_ann.json (probe read 8 of 64 index files).
+    from advanced_text_extraction_spark.operators import similarity as S
+
+    with tempfile.TemporaryDirectory(prefix="ate_plans_ivf_") as td:
+        emb = spark.read.parquet(
+            os.path.join(args.sf_dir, "embeddings.parquet"))
+        cents = S.seed_centroids(emb, n_cells=16)
+        idx = os.path.join(td, "ivf")
+        S.ivf_assign_kernel(emb, cents).repartition("cell") \
+            .write.partitionBy("cell").parquet(idx)
+        q = [float(x) for x in emb.first()["embedding"]]
+        plan = formatted(S.ivf_topk(spark.read.parquet(idx), q, cents,
+                                    nprobe=4, k=10, assigned=True))
+        check = ("PartitionFilters carry the cell IN-list — "
+                 "metadata-only pruning"
+                 if "PartitionFilters" in plan
+                 and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+                 else "UNEXPECTED: no cell PartitionFilters — pruning lost")
+        sections += [
+            "## ivf_topk over the at-rest cell-partitioned index",
+            "",
+            "The assignment written partitionBy(cell) (ivf_assign_kernel: "
+            "one BLAS matmul per Arrow batch — the expression tier costs "
+            "C interpreted HOF dots per row and stays the driver-gated "
+            "reference) turns the probe's IN-filter into partition "
+            f"pruning. Check: {check}. At 1M vectors/64 cells the probe "
+            "read 8/64 files, 14.5x faster than brute force at "
+            "recall@10 = 1.0 (BENCH/last_ann.json).",
+            "",
+            "```", plan, "```", "",
+        ]
 
     with open(args.out, "w") as f:
         f.write("\n".join(sections) + "\n")

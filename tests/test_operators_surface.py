@@ -379,3 +379,25 @@ def test_bm25_topk_length_normalization(spark):
     # saturation: common has tf=7 but scores < 7x zebra's in-doc score
     assert out[(0, "common")]["score"] < 7 * out[(0, "zebra")]["score"]
     assert out[(0, "common")]["doclen"] == 8
+
+
+def test_ivf_assign_kernel_matches_expression_tier(spark):
+    """The Arrow/numpy assignment tier (corpus-scale path) and the
+    JVM expression tier (driver-gated reference) must agree cell-for-
+    cell on real embeddings, and the kernel-trained centroids must
+    match the expression-trained ones to float tolerance."""
+    from advanced_text_extraction_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.seed_centroids(emb, n_cells=16)
+    expr = {r["vec_id"]: r["cell"]
+            for r in S.ivf_assign(emb, cents).collect()}
+    kern = {r["vec_id"]: r["cell"]
+            for r in S.ivf_assign_kernel(emb, cents).collect()}
+    assert expr == kern
+
+    t_expr = S.train_centroids(emb, n_cells=8, n_iter=2)
+    t_kern = S.train_centroids(emb, n_cells=8, n_iter=2, kernel=True)
+    assert len(t_expr) == len(t_kern)
+    for a, b in zip(t_expr, t_kern):
+        assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
