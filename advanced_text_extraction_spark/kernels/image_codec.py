@@ -16,6 +16,9 @@ container without imaging libraries:
   dequantize/dezigzag, vectorized 8x8 IDCT, chroma upsampling, YCbCr→RGB;
   encoder with Annex K tables for the fixture side; 4:4:4/4:2:2/4:2:0,
   restart markers)
+- TIFF 6.0 (baseline strips, both byte orders: Compression none/LZW/
+  PackBits, Predictor 2, 1-bit bilevel + 8-bit gray/RGB, WhiteIsZero;
+  tiled/fax/16-bit route to the real-codec hook)
 - raw gray buffers (width*height bytes — the shape of a FlateDecoded
   /DeviceGray PDF image XObject)
 - the repo's FIMG fake container (multimodal/media.py) for synth tables
@@ -1369,6 +1372,369 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
 
 
 # ---------------------------------------------------------------------------
+# TIFF 6.0 (baseline bilevel/grayscale/RGB, strip-based)
+# ---------------------------------------------------------------------------
+# The remaining real-world scan container after PNG/JPEG (r3 VERDICT
+# stretch #7). Scope: both byte orders, strip organization (any
+# RowsPerStrip), Compression 1 (none) / 5 (LZW, spec §13, early-change
+# code widths) / 32773 (PackBits, §9), Predictor 2 horizontal
+# differencing (§14), PhotometricInterpretation 0/1/2, 1-bit bilevel +
+# 8-bit gray + 8-bit RGB, PlanarConfiguration 1 (chunky). Tiled TIFF,
+# G3/G4 fax, and deeper bit depths route to the real-codec hook.
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RAT
+
+
+def _tiff_ifd(buf: bytes, order: str, off: int) -> dict[int, list[int]]:
+    """Parse one IFD into tag -> list of integer values (RATIONALs are
+    returned as floor(num/den); none of the tags we read are RATIONAL)."""
+    def u16(b, i):
+        return struct.unpack(order + "H", b[i:i + 2])[0]
+
+    def u32(b, i):
+        return struct.unpack(order + "I", b[i:i + 4])[0]
+
+    if off + 2 > len(buf):
+        raise ImageError("TIFF IFD offset out of range")
+    n = u16(buf, off)
+    tags: dict[int, list[int]] = {}
+    for e in range(n):
+        p = off + 2 + 12 * e
+        if p + 12 > len(buf):
+            raise ImageError("truncated TIFF IFD entry")
+        tag, typ = u16(buf, p), u16(buf, p + 2)
+        count = u32(buf, p + 4)
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # unknown type: spec says skip the entry
+        total = size * count
+        src = p + 8 if total <= 4 else u32(buf, p + 8)
+        if src + total > len(buf):
+            raise ImageError(f"TIFF tag {tag} data out of range")
+        if typ == 3:
+            vals = [u16(buf, src + 2 * i) for i in range(count)]
+        elif typ == 4:
+            vals = [u32(buf, src + 4 * i) for i in range(count)]
+        elif typ == 5:
+            vals = [u32(buf, src + 8 * i) //
+                    max(u32(buf, src + 8 * i + 4), 1) for i in range(count)]
+        else:  # BYTE/ASCII
+            vals = list(buf[src:src + total])
+        tags[tag] = vals
+    return tags
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, ClearCode 256,
+    EOI 257, 9→12-bit codes with the early-change width bump (the width
+    grows when the table length reaches 2**n - 1 — one entry earlier
+    than GIF's 2**n; the convention every TIFF/PDF LZW writer uses)."""
+    CLEAR, EOI = 256, 257
+    nbits, bitpos = 9, 0
+    nbytes = len(data)
+    table: list[bytes] = []
+    prev = b""
+    out = bytearray()
+    while bitpos + nbits <= nbytes * 8:
+        byte0, shift = divmod(bitpos, 8)
+        chunk = int.from_bytes(data[byte0:byte0 + 3].ljust(3, b"\0"), "big")
+        code = (chunk >> (24 - shift - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits, prev = 9, b""
+            continue
+        if not table:
+            raise ImageError("LZW stream does not start with ClearCode")
+        if not prev:
+            if code >= len(table):
+                raise ImageError("corrupt LZW stream (first code)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ImageError("corrupt LZW stream (code gap)")
+        out += entry
+        prev = entry
+        if len(table) == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Encoder twin of ``_lzw_decode`` — same early-change convention;
+    emits ClearCode when the table reaches 4094 so codes never need a
+    13th bit. Fixture/round-trip side."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nib = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nib
+        acc = (acc << width) | code
+        nib += width
+        while nib >= 8:
+            nib -= 8
+            out.append((acc >> nib) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, nbits = 258, 9
+    put(CLEAR, nbits)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], nbits)
+        if next_code >= 4094:  # table (nearly) full: reset mid-stream
+            put(CLEAR, nbits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, nbits = 258, 9
+        else:
+            table[wc] = next_code
+            next_code += 1
+            # width sync: the decoder's table lags this counter by
+            # exactly one entry (it can't complete an entry until the
+            # next code arrives), so its early-change bump at
+            # len == 2**n - 1 corresponds to next_code == 2**n here
+            if next_code == (1 << nbits) and nbits < 12:
+                nbits += 1
+        w = bytes([ch])
+    if w:
+        put(table[w], nbits)
+    put(EOI, nbits)
+    if nib:
+        out.append((acc << (8 - nib)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits (TIFF spec §9): n in [0,127] copies n+1 literals;
+    n in [-127,-1] (two's complement) repeats the next byte 1-n times;
+    -128 is a noop."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if h == -128:
+            continue
+        if h >= 0:
+            if i + h + 1 > n:
+                raise ImageError("truncated PackBits literal run")
+            out += data[i:i + h + 1]
+            i += h + 1
+        else:
+            if i >= n:
+                raise ImageError("truncated PackBits repeat run")
+            out += data[i:i + 1] * (1 - h)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    """Per-row PackBits (the spec's recommended strategy: never let a
+    run cross a row boundary). Greedy: repeats of ≥2 become repeat runs,
+    the rest literal runs of ≤128."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        if j - i >= 2:
+            out += bytes([257 - (j - i), row[i]])
+            i = j
+            continue
+        j = i + 1  # literal run: stop at the start of any ≥2-repeat
+        while (j < n and j - i < 128
+               and not (j + 1 < n and row[j + 1] == row[j])):
+            j += 1
+        out += bytes([j - i - 1]) + row[i:j]
+        i = j
+    return bytes(out)
+
+
+def _undo_predictor2(raw: np.ndarray, spp: int) -> np.ndarray:
+    """Horizontal-differencing predictor (spec §14): cumulative sum per
+    row per channel, mod 256. raw is (rows, width*spp) uint8."""
+    a = raw.reshape(raw.shape[0], -1, spp)
+    return np.cumsum(a.astype(np.uint32), axis=1).astype(np.uint8) \
+        .reshape(raw.shape)
+
+
+def decode_tiff(buf: bytes) -> np.ndarray:
+    """TIFF 6.0 baseline decoder — first IFD only (the image a scanner
+    or exporter puts first; later IFDs are thumbnails/pages).
+
+    Reference analog: ``cv2.imread`` accepts .tif/.tiff uploads at
+    /root/reference/text_extractor.py:887-903; this is the from-scratch
+    twin for the sandbox (r3 VERDICT stretch #7)."""
+    if buf[:4] == b"II*\x00":
+        order = "<"
+    elif buf[:4] == b"MM\x00*":
+        order = ">"
+    else:
+        raise ImageError(f"not a TIFF payload: {buf[:4]!r}")
+    if len(buf) < 8:
+        raise ImageError("truncated TIFF header")
+    tags = _tiff_ifd(buf, order, struct.unpack(order + "I", buf[4:8])[0])
+
+    def one(tag: int, default=None) -> int:
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ImageError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    width, height = one(256), one(257)
+    if not width or not height:
+        raise ImageError("TIFF zero-sized image")
+    comp = one(259, 1)
+    photo = one(262, 1)
+    spp = one(277, 1)
+    bits = tags.get(258, [1])
+    rps = min(max(one(278, height), 1), height)
+    pred = one(317, 1)
+    if one(284, 1) != 1:
+        return _decode_real(buf)  # planar: not a baseline scan shape
+    if comp not in (1, 5, 32773) or photo not in (0, 1, 2) \
+            or (322 in tags) or set(bits) not in ({1}, {8}) \
+            or spp not in (1, 3) or (spp == 3 and bits != [8, 8, 8]):
+        return _decode_real(buf)  # tiled / fax / 16-bit / palette etc.
+    if pred == 2 and bits != [8] * spp:
+        raise ImageError("TIFF predictor 2 requires 8-bit samples")
+
+    offsets = tags.get(273)
+    if not offsets:
+        raise ImageError("TIFF missing StripOffsets")
+    row_bytes = (width * spp * bits[0] + 7) // 8
+    counts = tags.get(279)
+    if counts is None:
+        if comp != 1 or len(offsets) != 1:
+            raise ImageError("TIFF missing StripByteCounts")
+        counts = [row_bytes * height]
+
+    rows = []
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(buf):
+            raise ImageError("TIFF strip out of range")
+        nrows = min(rps, height - s * rps)
+        if nrows <= 0:
+            break
+        raw = bytes(buf[off:off + cnt])
+        if comp == 5:
+            raw = _lzw_decode(raw)
+        elif comp == 32773:
+            raw = _packbits_decode(raw)
+        if len(raw) < row_bytes * nrows:
+            raise ImageError("TIFF strip shorter than its rows")
+        strip = np.frombuffer(
+            raw[:row_bytes * nrows], np.uint8).reshape(nrows, row_bytes)
+        if pred == 2:
+            strip = _undo_predictor2(strip, spp)
+        rows.append(strip)
+    if not rows:
+        raise ImageError("TIFF has no decodable strips")
+    grid = np.concatenate(rows, axis=0)
+    if grid.shape[0] != height:
+        raise ImageError("TIFF strips do not cover the image height")
+
+    if bits[0] == 1:
+        px = np.unpackbits(grid, axis=1)[:, :width]
+        arr = np.where(px == 1, 255, 0).astype(np.uint8)
+    elif spp == 3:
+        arr = grid.reshape(height, width, 3)
+    else:
+        arr = grid[:, :width]
+    if photo == 0:  # WhiteIsZero: min value is white
+        arr = (255 - arr.astype(np.uint16)).astype(np.uint8)
+    return arr
+
+
+def encode_tiff(arr: np.ndarray, compression: str = "none",
+                predictor: int = 1, byteorder: str = "<",
+                rows_per_strip: int | None = None) -> bytes:
+    """TIFF 6.0 writer for the fixture/round-trip side: 8-bit gray
+    ``(h, w)`` or RGB ``(h, w, 3)``, chunky, strip-based.
+    ``compression``: none | lzw | packbits; ``predictor=2`` (lzw only)
+    exercises §14 horizontal differencing; both byte orders."""
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
+        raise ImageError("encode_tiff wants uint8 (h,w) or (h,w,3)")
+    if compression not in ("none", "lzw", "packbits"):
+        raise ImageError(f"unsupported compression {compression!r}")
+    if predictor not in (1, 2) or (predictor == 2 and compression != "lzw"):
+        raise ImageError("predictor 2 is defined here for lzw only")
+    h, w = arr.shape[:2]
+    spp = 1 if arr.ndim == 2 else arr.shape[2]
+    rps = h if rows_per_strip is None else max(1, rows_per_strip)
+    flat = arr.reshape(h, w * spp)
+
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = flat[y0:y0 + rps]
+        if predictor == 2:
+            a = rows.reshape(rows.shape[0], -1, spp).astype(np.int16)
+            a[:, 1:] -= a[:, :-1].copy()
+            rows = (a & 0xFF).astype(np.uint8).reshape(rows.shape)
+        raw = rows.tobytes()
+        if compression == "lzw":
+            strips.append(_lzw_encode(raw))
+        elif compression == "packbits":
+            strips.append(b"".join(_packbits_encode_row(bytes(r))
+                                   for r in rows))
+        else:
+            strips.append(raw)
+
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    out = bytearray(struct.pack(
+        byteorder + "2sHI", b"II" if byteorder == "<" else b"MM", 42, 0))
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(len(out))
+        out += s
+
+    def entry(tag: int, typ: int, vals: list[int]) -> bytes:
+        size = _TIFF_TYPE_SIZE[typ] * len(vals)
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = b"".join(struct.pack(byteorder + fmt, v) for v in vals)
+        if size <= 4:
+            return struct.pack(byteorder + "HHI", tag, typ, len(vals)) \
+                + packed.ljust(4, b"\0")
+        nonlocal extra
+        ptr = extra_base + len(extra)
+        extra += packed
+        return struct.pack(byteorder + "HHII", tag, typ, len(vals), ptr)
+
+    fields: list[tuple[int, int, list[int]]] = [
+        (256, 4, [w]), (257, 4, [h]),
+        (258, 3, [8] * spp), (259, 3, [comp_id]),
+        (262, 3, [2 if spp == 3 else 1]),
+        (273, 4, strip_offs), (277, 3, [spp]), (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    if predictor == 2:
+        fields.append((317, 3, [2]))
+    ifd_size = 2 + 12 * len(fields) + 4
+    extra_base = len(out) + ifd_size
+    extra = b""
+    ifd = struct.pack(byteorder + "H", len(fields)) + b"".join(
+        entry(t, ty, v) for t, ty, v in sorted(fields)) \
+        + struct.pack(byteorder + "I", 0)
+    out[4:8] = struct.pack(byteorder + "I", len(out))
+    out += ifd + extra
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -1414,4 +1780,6 @@ def decode_image(buf: bytes) -> np.ndarray:
         except _UnsupportedJpeg:
             # progressive/arithmetic/12-bit — the real-codec hook
             return _decode_real(buf)
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(buf)  # baseline strips; exotic → real hook
     raise ImageError(f"unrecognized image magic {buf[:4]!r}")

@@ -73,14 +73,14 @@ def _decode_real_image(buf: bytes) -> np.ndarray:
         raise NotImplementedError(
             "real image codecs (cv2/PIL) are not installed in this "
             "environment — use the 'sniff' codec (from-scratch "
-            "PNG/JPEG/BMP/PNM decoders) or install opencv") from exc
+            "PNG/JPEG/TIFF/BMP/PNM decoders) or install opencv") from exc
     import cv2
     return cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_GRAYSCALE)
 
 
 def _decode_sniff_image(buf: bytes) -> np.ndarray:
     """Magic-sniffing from-scratch decoder over every container the
-    kernel codec supports (FIMG/PNM/BMP/PNG/baseline JPEG), folded to
+    kernel codec supports (FIMG/PNM/BMP/PNG/JPEG/TIFF), folded to
     the grayscale contract the feature kernels expect."""
     from ..kernels.image_codec import decode_image
     from ..kernels.image_prep import to_gray

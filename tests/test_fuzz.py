@@ -19,7 +19,8 @@ import pytest
 
 from advanced_text_extraction_spark.kernels.encoding import decode_bytes
 from advanced_text_extraction_spark.kernels.image_codec import (
-    ImageError, decode_image, encode_bmp_gray, encode_pgm, encode_png_gray)
+    ImageError, decode_image, encode_bmp_gray, encode_pgm, encode_png_gray,
+    encode_tiff)
 from advanced_text_extraction_spark.kernels.ocr import ocr_image, render_page
 from advanced_text_extraction_spark.operators.extract import extract_one
 from fixtures.gen import (
@@ -93,7 +94,8 @@ def test_decode_image_raises_only_its_own_error_type():
     rng = random.Random(99)
     samples = [_rand_bytes(rng, rng.randrange(0, 300)) for _ in range(60)]
     img = render_page("FUZZ", scale=2)
-    for enc in (encode_pgm, encode_bmp_gray, encode_png_gray, encode_jpeg):
+    for enc in (encode_pgm, encode_bmp_gray, encode_png_gray, encode_jpeg,
+                encode_tiff):
         raw = enc(img)
         for _ in range(25):
             samples.append(_bitflip(rng, raw, rng.randrange(1, 12)))

@@ -123,6 +123,45 @@ def test_image_stats_sniff_codec_over_jpeg_and_png(spark):
         assert r["mean_intensity"] == pytest.approx(want)
 
 
+def test_image_stats_sniff_codec_over_tiff(spark):
+    """TIFF payloads (r3 VERDICT stretch #7: the remaining real-scan
+    container) flow through the same Spark plumbing — lossless, so the
+    stats must match the source array exactly; the LZW+predictor and
+    PackBits variants exercise both §13 and §9 decode paths in-plan."""
+    import pandas as pd
+
+    from advanced_text_extraction_spark.kernels.image_codec import (
+        encode_tiff)
+    from advanced_text_extraction_spark.kernels.image_prep import to_gray
+
+    rng = np.random.default_rng(21)
+    imgs = {
+        0: rng.integers(0, 256, (24, 32), dtype=np.uint8),
+        1: rng.integers(0, 256, (19, 27, 3), dtype=np.uint8),
+        2: ((np.arange(20 * 28) * 13) % 251).astype(np.uint8)
+        .reshape(20, 28),
+    }
+    payloads = {
+        0: encode_tiff(imgs[0], compression="lzw", predictor=2,
+                       rows_per_strip=6),
+        1: encode_tiff(imgs[1], compression="packbits", byteorder=">"),
+        2: encode_tiff(imgs[2]),
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": list(payloads),
+                      "kind": ["image"] * 3,
+                      "payload": list(payloads.values()),
+                      "meta": [{}] * 3}),
+        schema=M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r
+           for r in M.image_stats(df, codec="sniff").collect()}
+    for mid, img in imgs.items():
+        r = out[mid]
+        assert r["status"] == "ok"
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        assert r["mean_intensity"] == pytest.approx(to_gray(img).mean())
+
+
 def test_image_stats_sniff_codec_over_progressive_jpeg(spark):
     """Progressive (SOF2) JPEG payloads decode natively through the same
     Spark plumbing — no cv2 hook on the default path (r3: the remaining

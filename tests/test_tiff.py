@@ -1,0 +1,200 @@
+"""TIFF 6.0 baseline codec (r3 VERDICT stretch #7).
+
+Reference analog: the reference accepts .tif/.tiff uploads straight into
+``cv2.imread`` (/root/reference/text_extractor.py:887-903); this suite
+pins the from-scratch twin — strip organization, both byte orders, LZW
+(spec §13, early-change code widths), PackBits (§9, including the spec's
+own worked example), Predictor 2 (§14), bilevel/gray/RGB photometrics —
+and its dispatch + fuzz totality contracts.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import numpy as np
+import pytest
+
+from advanced_text_extraction_spark.kernels.image_codec import (
+    ImageError, _lzw_decode, _lzw_encode, _packbits_decode,
+    _packbits_encode_row, decode_image, decode_tiff, encode_tiff)
+
+
+def _imgs() -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(11)
+    return {
+        "gray_noise": rng.integers(0, 256, (37, 53), dtype=np.uint8),
+        "gray_ramp": (np.arange(24 * 31).reshape(24, 31) % 251)
+        .astype(np.uint8),
+        "rgb": rng.integers(0, 256, (21, 34, 3), dtype=np.uint8),
+        "flat": np.full((16, 16), 130, np.uint8),
+        "one_px": np.asarray([[7]], np.uint8),
+    }
+
+
+@pytest.mark.parametrize("byteorder", ["<", ">"])
+@pytest.mark.parametrize("compression", ["none", "lzw", "packbits"])
+@pytest.mark.parametrize("rows_per_strip", [None, 5])
+def test_roundtrip_matrix(byteorder, compression, rows_per_strip):
+    for name, img in _imgs().items():
+        buf = encode_tiff(img, compression=compression,
+                          byteorder=byteorder,
+                          rows_per_strip=rows_per_strip)
+        out = decode_tiff(buf)
+        assert out.shape == img.shape, name
+        assert (out == img).all(), name
+        # magic-sniffing dispatch reaches the same decoder
+        assert (decode_image(buf) == img).all(), name
+
+
+def test_predictor2_roundtrip_and_wraparound():
+    """§14 horizontal differencing, including the mod-256 wrap (a row
+    that DECREASES produces negative deltas stored as wrapped uint8)."""
+    imgs = _imgs()
+    down = np.tile(np.arange(255, -1, -8, dtype=np.uint8), (9, 1))
+    for img in list(imgs.values()) + [down]:
+        buf = encode_tiff(img, compression="lzw", predictor=2,
+                          rows_per_strip=7)
+        assert (decode_tiff(buf) == img).all()
+    # predictor tag round-trips structurally: re-encode without it
+    # differs in payload but decodes identically
+    a = decode_tiff(encode_tiff(down, compression="lzw", predictor=2))
+    b = decode_tiff(encode_tiff(down, compression="lzw", predictor=1))
+    assert (a == b).all()
+
+
+def test_lzw_width_growth_through_12_bits_and_reset():
+    """A noise image large enough to push the code table through the
+    10/11/12-bit widths AND past the 4094-entry reset — the two
+    coordination points where an early-change off-by-one corrupts
+    everything after the first 253 codes."""
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 256, (200, 300), dtype=np.uint8)
+    assert (decode_tiff(encode_tiff(big, compression="lzw")) == big).all()
+    raw = bytes(rng.integers(0, 256, 60_000, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(raw)) == raw
+    compressible = bytes(rng.integers(0, 4, 60_000, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(compressible)) == compressible
+
+
+def test_lzw_rejects_garbage_with_typed_error():
+    with pytest.raises(ImageError):
+        _lzw_decode(b"\x00\x01\x02\x03")  # no leading ClearCode
+    # stream claiming a code far beyond the table
+    with pytest.raises(ImageError):
+        _lzw_decode(bytes([0x80, 0x00]) + b"\xff\xff\xff\xff")
+
+
+def test_packbits_spec_worked_example():
+    """The packed stream from TIFF 6.0 §9's own example must unpack to
+    the documented 24-byte result."""
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    want = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22"
+                         "AAAAAAAAAAAAAAAAAAAA")
+    assert _packbits_decode(packed) == want
+    # and our encoder's output for that row decodes back (encoder need
+    # not be byte-identical to the example, only contract-equal)
+    assert _packbits_decode(_packbits_encode_row(want)) == want
+
+
+def test_packbits_row_roundtrip_lengths():
+    rng = np.random.default_rng(5)
+    for n in (0, 1, 2, 127, 128, 129, 257, 1000):
+        row = bytes(rng.integers(0, 3, n, dtype=np.uint8))
+        assert _packbits_decode(_packbits_encode_row(row)) == row
+        runy = bytes([200] * n)
+        assert _packbits_decode(_packbits_encode_row(runy)) == runy
+
+
+def _bilevel_tiff(bits_rows: np.ndarray, photometric: int,
+                  order: str = "<") -> bytes:
+    """Hand-rolled 1-bit TIFF (our encoder is 8-bit only — bilevel is a
+    decode-side contract for fax-style scans)."""
+    h, w = bits_rows.shape
+    data = np.packbits(bits_rows, axis=1).tobytes()
+    out = bytearray(struct.pack(
+        order + "2sHI", b"II" if order == "<" else b"MM", 42, 0))
+    off = len(out)
+    out += data
+    fields = [(256, 4, w), (257, 4, h), (258, 3, 1), (259, 3, 1),
+              (262, 3, photometric), (273, 4, off), (277, 3, 1),
+              (278, 4, h), (279, 4, len(data))]
+    struct.pack_into(order + "I", out, 4, len(out))
+    out += struct.pack(order + "H", len(fields))
+    for tag, typ, val in fields:
+        packed = struct.pack(order + ("H" if typ == 3 else "I"), val)
+        out += struct.pack(order + "HHI", tag, typ, 1) \
+            + packed.ljust(4, b"\0")
+    out += struct.pack(order + "I", 0)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("order", ["<", ">"])
+def test_bilevel_both_photometrics(order):
+    rng = np.random.default_rng(9)
+    bits = rng.integers(0, 2, (13, 21), dtype=np.uint8)  # w%8 != 0: padding
+    black_is_zero = decode_tiff(_bilevel_tiff(bits, 1, order))
+    assert (black_is_zero == np.where(bits == 1, 255, 0)).all()
+    white_is_zero = decode_tiff(_bilevel_tiff(bits, 0, order))
+    assert (white_is_zero == np.where(bits == 1, 0, 255)).all()
+
+
+def test_whiteiszero_gray_inverts():
+    img = _imgs()["gray_ramp"]
+    buf = bytearray(encode_tiff(img))
+    # flip PhotometricInterpretation 1 -> 0 in place (tag 262)
+    i = buf.find(struct.pack("<HH", 262, 3))
+    assert i > 0
+    struct.pack_into("<I", buf, i + 8, 0)
+    assert (decode_tiff(bytes(buf)) == 255 - img).all()
+
+
+def test_unsupported_shapes_route_to_real_hook():
+    """Tiled / 16-bit / palette TIFFs must hit the import-guarded
+    real-codec hook (NotImplementedError in this container), NOT decode
+    wrong or crash — same seam as exotic JPEG variants."""
+    img = _imgs()["flat"]
+    buf = bytearray(encode_tiff(img))
+    i = buf.find(struct.pack("<HH", 258, 3))
+    struct.pack_into("<I", buf, i + 8, 16)  # BitsPerSample 16
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(buf))
+
+
+def test_malformed_headers_raise_typed_error():
+    cases = [
+        b"II*\x00",                      # truncated at the IFD pointer
+        b"II*\x00\xff\xff\xff\xff",      # IFD offset out of range
+        b"MM\x00*\x00\x00\x00\x08\x00",  # truncated entry count
+        encode_tiff(_imgs()["flat"])[:40],  # truncated mid-IFD
+    ]
+    for buf in cases:
+        with pytest.raises(ImageError):
+            decode_tiff(buf)
+    with pytest.raises(ImageError):
+        decode_tiff(b"ZZZZ not a tiff")
+
+
+def test_fuzz_totality_over_corrupt_tiffs():
+    """Bit-flipped / truncated TIFF streams: a result array, ImageError,
+    or the real-hook NotImplementedError — never an unhandled exception
+    (failure-as-data contract; see tests/test_fuzz.py header)."""
+    rng = random.Random(17)
+    base = [encode_tiff(_imgs()["gray_noise"], compression=c,
+                        rows_per_strip=6)
+            for c in ("none", "lzw", "packbits")]
+    samples = []
+    for raw in base:
+        for _ in range(40):
+            ba = bytearray(raw)
+            for _ in range(rng.randrange(1, 10)):
+                ba[rng.randrange(len(ba))] ^= 1 << rng.randrange(8)
+            samples.append(bytes(ba))
+            samples.append(raw[:rng.randrange(len(raw))])
+    for s in samples:
+        try:
+            out = decode_tiff(s)
+            assert isinstance(out, np.ndarray)
+        except (ImageError, NotImplementedError):
+            pass
