@@ -176,6 +176,29 @@ def test_malformed_headers_raise_typed_error():
         decode_tiff(b"ZZZZ not a tiff")
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4000))
+def test_lzw_roundtrip_property(data):
+    """decode(encode(x)) == x for arbitrary byte strings — hypothesis
+    shrinks any early-change desync to a minimal counterexample (the
+    off-by-one lives at code 253/509/1021, unreachable by eye)."""
+    assert _lzw_decode(_lzw_encode(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=600),
+       st.integers(min_value=2, max_value=40))
+def test_lzw_roundtrip_property_repetitive(chunk, reps):
+    """Highly repetitive inputs maximize table growth per byte — the
+    regime where width bumps and the 4094-entry reset actually fire."""
+    data = chunk * reps
+    assert _lzw_decode(_lzw_encode(data)) == data
+
+
 def test_fuzz_totality_over_corrupt_tiffs():
     """Bit-flipped / truncated TIFF streams: a result array, ImageError,
     or the real-hook NotImplementedError — never an unhandled exception
