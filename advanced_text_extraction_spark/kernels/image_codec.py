@@ -1701,6 +1701,8 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
     for s in strips:
         strip_offs.append(len(out))
         out += s
+        if len(out) & 1:  # spec §2: all offsets must be word-aligned
+            out += b"\0"
 
     def entry(tag: int, typ: int, vals: list[int]) -> bytes:
         size = _TIFF_TYPE_SIZE[typ] * len(vals)

@@ -162,6 +162,38 @@ def test_unsupported_shapes_route_to_real_hook():
         decode_tiff(bytes(buf))
 
 
+@pytest.mark.parametrize("order", ["<", ">"])
+@pytest.mark.parametrize("compression", ["none", "lzw", "packbits"])
+def test_word_alignment_of_all_offsets(order, compression):
+    """TIFF 6.0 §2: the IFD and every value/strip offset must begin on
+    a word (even) boundary. Odd-width gray at rows_per_strip=1 makes
+    every uncompressed strip odd-length — the regime where a naive
+    writer emits odd offsets that strict readers reject."""
+    img = _imgs()["gray_noise"][:9, :53]  # 53-byte rows: odd strips
+    buf = encode_tiff(img, compression=compression, byteorder=order,
+                      rows_per_strip=1)
+    ifd_off = struct.unpack(order + "I", buf[4:8])[0]
+    assert ifd_off % 2 == 0
+    n = struct.unpack(order + "H", buf[ifd_off:ifd_off + 2])[0]
+    for e in range(n):
+        p = ifd_off + 2 + 12 * e
+        tag, typ = struct.unpack(order + "HH", buf[p:p + 4])
+        count = struct.unpack(order + "I", buf[p + 4:p + 8])[0]
+        size = {3: 2, 4: 4}[typ] * count
+        if size > 4:  # out-of-line value block: its offset must be even
+            assert struct.unpack(order + "I", buf[p + 8:p + 12])[0] % 2 == 0
+        if tag == 273:  # StripOffsets: every strip must be word-aligned
+            if size <= 4:
+                offs = [struct.unpack(order + "I", buf[p + 8:p + 12])[0]]
+            else:
+                src = struct.unpack(order + "I", buf[p + 8:p + 12])[0]
+                offs = [struct.unpack(order + "I", buf[src + 4 * i:
+                                                       src + 4 * i + 4])[0]
+                        for i in range(count)]
+            assert all(o % 2 == 0 for o in offs), offs
+    assert (decode_tiff(buf) == img).all()
+
+
 def test_malformed_headers_raise_typed_error():
     cases = [
         b"II*\x00",                      # truncated at the IFD pointer
