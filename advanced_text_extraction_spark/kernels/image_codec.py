@@ -1784,4 +1784,7 @@ def decode_image(buf: bytes) -> np.ndarray:
             return _decode_real(buf)
     if buf[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(buf)  # baseline strips; exotic → real hook
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        from .webp_codec import decode_webp
+        return decode_webp(buf)  # VP8L from scratch; lossy → real hook
     raise ImageError(f"unrecognized image magic {buf[:4]!r}")

@@ -1,0 +1,1017 @@
+"""WebP lossless (VP8L) codec from scratch — pure Python/numpy.
+
+Reference analog: ``.webp`` is in the reference's accepted image set
+(/root/reference/text_extractor.py:773) and is decoded there by
+``cv2.imread`` (:887-903). This module is the from-scratch twin for the
+sandbox, closing the last format gap in the S9 image-OCR source: after
+PGM/PPM, BMP, PNG, JPEG (baseline + progressive) and TIFF 6.0, WebP
+lossless now decodes without imaging libraries.
+
+Decoder implements the public WebP Lossless Bitstream Specification
+(RFC 9649 §4-5) completely:
+
+- RIFF container walk (``VP8L`` direct and inside ``VP8X`` extended files)
+- LSB-first bit reading; canonical prefix codes in both storage forms
+  (simple 1/2-symbol codes and code-length-coded codes with 16/17/18
+  repeats and the optional max-symbol cutoff)
+- meta-prefix groups (entropy image), color cache, LZ77 backward
+  references with the 120-entry two-dimensional distance map
+- all four transforms, inverse-applied in reverse read order: predictor
+  (14 modes with the spec's border rules, including the
+  rightmost-column top-right wraparound), color transform (signed 3.5
+  fixed-point cross-channel deltas), subtract-green, and color
+  indexing with sub-byte pixel bundling (1/2/4-bit packed widths)
+
+Lossy ``VP8 `` payloads route to the import-guarded real-codec hook
+(same seam as arithmetic-coded JPEG): a boolean-arithmetic-coded
+intra-prediction codec is out of scope for a text-extraction engine.
+
+The encoder twin exists for the fixture/round-trip side (no imaging
+library in this container can produce WebP files): it emits spec-legal
+streams exercising every decoder path — per-block predictor modes,
+uniform color transforms, palettes at every bundling width, subtract
+green, run-length LZ77, color cache — with real frequency-built
+canonical prefix codes (balanced-code fallback keeps lengths legal).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .image_codec import ImageError, _decode_real
+
+# order in which code-length-code lengths are stored (RFC 9649 §5.2.2)
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+# 2D offset map for LZ77 distance codes 1..120 (RFC 9649 §4.4.2.2)
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+_CACHE_MULT = 0x1E35A7BD  # color-cache hash multiplier (RFC 9649 §4.4.2.3)
+
+
+def _subsample(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+# ---------------------------------------------------------------------------
+# bit I/O (LSB-first, per spec §5.1)
+# ---------------------------------------------------------------------------
+
+class _Bits:
+    __slots__ = ("d", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self.pos + n
+        if end > self.nbits:
+            raise ImageError("VP8L: bitstream overrun")
+        byte0 = self.pos >> 3
+        shift = self.pos & 7
+        chunk = int.from_bytes(
+            self.d[byte0:byte0 + ((shift + n + 7) >> 3)], "little")
+        self.pos = end
+        return (chunk >> shift) & ((1 << n) - 1)
+
+
+class _BitW:
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+        self.out = bytearray()
+
+    def write(self, val: int, nbits: int) -> None:
+        if val >> nbits:
+            raise ImageError(f"VP8L encoder: {val} exceeds {nbits} bits")
+        self.acc |= val << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix-code bits go out MSB-first (the first bit the reader
+        consumes descends from the root)."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        out = bytes(self.out)
+        if self.n:
+            out += bytes([self.acc & 0xFF])
+        return out
+
+
+# ---------------------------------------------------------------------------
+# canonical prefix codes
+# ---------------------------------------------------------------------------
+
+class _Prefix:
+    """Canonical prefix decoder from a code-length array (DEFLATE-style
+    canonical assignment: codes ordered by (length, symbol))."""
+
+    __slots__ = ("single", "counts", "firsts", "offsets", "syms", "maxlen")
+
+    def __init__(self, lengths: list[int]):
+        nz = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
+        if not nz:
+            raise ImageError("VP8L: prefix code with no symbols")
+        if len(nz) == 1:
+            # one-symbol code: consumes zero bits (spec's simple-code
+            # semantics; libwebp accepts the same shape from the coded
+            # form)
+            self.single = nz[0][1]
+            return
+        self.single = None
+        self.maxlen = nz[-1][0]
+        if self.maxlen > 15:
+            raise ImageError("VP8L: prefix code length > 15")
+        counts = [0] * (self.maxlen + 1)
+        for l, _ in nz:
+            counts[l] += 1
+        firsts = [0] * (self.maxlen + 1)
+        offsets = [0] * (self.maxlen + 1)
+        code = off = total = 0
+        for l in range(1, self.maxlen + 1):
+            firsts[l] = code
+            offsets[l] = off
+            code = (code + counts[l]) << 1
+            off += counts[l]
+            total += counts[l] << (self.maxlen - l)
+        if total != (1 << self.maxlen):
+            raise ImageError("VP8L: prefix code is not complete")
+        self.counts = counts
+        self.firsts = firsts
+        self.offsets = offsets
+        self.syms = [s for _, s in nz]
+
+    def read(self, br: _Bits) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for l in range(1, self.maxlen + 1):
+            code = (code << 1) | br.read(1)
+            d = code - self.firsts[l]
+            if 0 <= d < self.counts[l]:
+                return self.syms[self.offsets[l] + d]
+        raise ImageError("VP8L: invalid prefix code in stream")
+
+
+def _read_prefix_code(br: _Bits, alphabet_size: int) -> _Prefix:
+    """One prefix code, simple or code-length-coded (spec §5.2.1-5.2.2)."""
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        first_8bits = br.read(1)
+        s0 = br.read(8 if first_8bits else 1)
+        lengths = [0] * alphabet_size
+        if s0 >= alphabet_size:
+            raise ImageError("VP8L: simple-code symbol out of range")
+        if num_symbols == 2:
+            s1 = br.read(8)
+            if s1 >= alphabet_size or s1 == s0:
+                raise ImageError("VP8L: bad simple-code symbol pair")
+            lengths[s0] = lengths[s1] = 1
+        else:
+            lengths[s0] = 1  # one symbol: _Prefix reads zero bits
+        return _Prefix(lengths)
+
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_code = _Prefix(cl_lengths)
+
+    lengths = [0] * alphabet_size
+    if br.read(1):  # explicit symbol-count cutoff
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_code.read(br)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev_len = cl
+        else:
+            if cl == 16:
+                repeat, fill = 3 + br.read(2), prev_len
+            elif cl == 17:
+                repeat, fill = 3 + br.read(3), 0
+            else:
+                repeat, fill = 11 + br.read(7), 0
+            if symbol + repeat > alphabet_size:
+                raise ImageError("VP8L: code-length repeat overruns alphabet")
+            if fill:
+                for _ in range(repeat):
+                    lengths[symbol] = fill
+                    symbol += 1
+            else:
+                symbol += repeat
+    return _Prefix(lengths)
+
+
+def _prefix_val(br: _Bits, code: int) -> int:
+    """LZ77 length/distance prefix value (spec §4.4.2.1)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _plane_to_dist(v: int, xsize: int) -> int:
+    if v > 120:
+        return v - 120
+    xoff, yoff = _DIST_MAP[v - 1]
+    return max(1, yoff * xsize + xoff)
+
+
+# ---------------------------------------------------------------------------
+# entropy-coded image (spec §5.2.3) — shared by main image and sub-images
+# ---------------------------------------------------------------------------
+
+def _decode_image_data(br: _Bits, w: int, h: int,
+                       level0: bool) -> np.ndarray:
+    """Decode one entropy-coded ARGB image of w*h pixels (transforms are
+    the caller's concern). Returns uint32 array of length w*h."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ImageError(f"VP8L: color cache bits {cache_bits}")
+    meta_idx = None
+    meta_bits = 0
+    num_groups = 1
+    if level0 and br.read(1):  # meta prefix codes
+        meta_bits = 2 + br.read(3)
+        mw, mh = _subsample(w, meta_bits), _subsample(h, meta_bits)
+        meta_img = _decode_image_data(br, mw, mh, False)
+        meta_idx = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        num_groups = int(meta_idx.max()) + 1
+        meta_w = mw
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = []
+    for _ in range(num_groups):
+        groups.append((
+            _read_prefix_code(br, 256 + 24 + cache_size),  # green/len/cache
+            _read_prefix_code(br, 256),                    # red
+            _read_prefix_code(br, 256),                    # blue
+            _read_prefix_code(br, 256),                    # alpha
+            _read_prefix_code(br, 40),                     # distance
+        ))
+
+    n = w * h
+    out = np.zeros(n, np.uint32)
+    cache = [0] * cache_size
+    shift = 32 - cache_bits if cache_bits else 0
+    pos = 0
+    x = y = 0
+    g = groups[0]
+    while pos < n:
+        if meta_idx is not None:
+            g = groups[int(meta_idx[(y >> meta_bits) * meta_w
+                                    + (x >> meta_bits)])]
+        s = g[0].read(br)
+        if s < 256:  # literal
+            r = g[1].read(br)
+            b = g[2].read(br)
+            a = g[3].read(br)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = px
+            if cache_bits:
+                cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> shift] = px
+            pos += 1
+            x += 1
+            if x == w:
+                x = 0
+                y += 1
+        elif s < 280:  # LZ77 backward reference
+            length = _prefix_val(br, s - 256)
+            dist = _plane_to_dist(_prefix_val(br, g[4].read(br)), w)
+            if dist > pos or pos + length > n:
+                raise ImageError("VP8L: backward reference out of range")
+            for _ in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                if cache_bits:
+                    cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> shift] = px
+                pos += 1
+                x += 1
+                if x == w:
+                    x = 0
+                    y += 1
+        else:  # color-cache reference
+            idx = s - 280
+            if idx >= cache_size:
+                raise ImageError("VP8L: cache index beyond cache size")
+            out[pos] = cache[idx]
+            pos += 1
+            x += 1
+            if x == w:
+                x = 0
+                y += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# inverse transforms (spec §4)
+# ---------------------------------------------------------------------------
+
+def _avg2(a, b):
+    return [(p + q) >> 1 for p, q in zip(a, b)]
+
+
+def _clip255(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _trunc_half(d: int) -> int:
+    """C-style (d / 2): truncation toward zero, not floor."""
+    return d // 2 if d >= 0 else -((-d) // 2)
+
+
+def _predict(mode: int, L, T, TL, TR):
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:  # Select: whichever of T/L the gradient is closer to
+        p_l = sum(abs(t - tl) for t, tl in zip(T, TL))
+        p_t = sum(abs(l - tl) for l, tl in zip(L, TL))
+        return T if p_t <= p_l else L
+    if mode == 12:
+        return [_clip255(l + t - tl) for l, t, tl in zip(L, T, TL)]
+    if mode == 13:
+        avg = _avg2(L, T)
+        return [_clip255(a + _trunc_half(a - tl)) for a, tl in zip(avg, TL)]
+    raise ImageError(f"VP8L: predictor mode {mode} out of range")
+
+
+def _px4(v: int):
+    return ((v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
+
+
+def _inv_predictor(img: np.ndarray, w: int, h: int,
+                   size_bits: int, modes: np.ndarray) -> np.ndarray:
+    """Sequential inverse of the predictor transform. Border rules per
+    spec: (0,0) predicts opaque black, row 0 predicts L, column 0
+    predicts T; the rightmost pixel's TR is the current row's leftmost
+    pixel (the spec codifies libwebp's contiguous-buffer semantics)."""
+    mode_w = _subsample(w, size_bits)
+    px = img.reshape(h, w)
+    out = np.zeros((h, w), np.uint32)
+
+    def at(yy, xx):
+        return _px4(int(out[yy, xx]))
+
+    for y in range(h):
+        mrow = modes[(y >> size_bits) * mode_w:] if size_bits >= 0 else None
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = at(0, x - 1)
+            elif x == 0:
+                pred = at(y - 1, 0)
+            else:
+                mode = int(mrow[x >> size_bits]) & 0xFF
+                L = at(y, x - 1)
+                T = at(y - 1, x)
+                TL = at(y - 1, x - 1)
+                TR = at(y, 0) if x == w - 1 else at(y - 1, x + 1)
+                pred = _predict(mode, L, T, TL, TR)
+            res = _px4(int(px[y, x]))
+            out[y, x] = (((res[0] + pred[0]) & 0xFF) << 24
+                         | ((res[1] + pred[1]) & 0xFF) << 16
+                         | ((res[2] + pred[2]) & 0xFF) << 8
+                         | ((res[3] + pred[3]) & 0xFF))
+    return out.reshape(-1)
+
+
+def _i8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _ct_delta(t: int, c: int) -> int:
+    return (_i8(t & 0xFF) * _i8(c & 0xFF)) >> 5
+
+
+def _inv_color_transform(img: np.ndarray, w: int, h: int,
+                         size_bits: int, elems: np.ndarray) -> np.ndarray:
+    """Inverse color transform: per-block signed 3.5 fixed-point deltas
+    (g2r in the element's blue channel, g2b green, r2b red)."""
+    ew = _subsample(w, size_bits)
+    out = img.copy()
+    for y in range(h):
+        erow = elems[(y >> size_bits) * ew:]
+        base = y * w
+        for x in range(w):
+            e = int(erow[x >> size_bits])
+            g2r, g2b, r2b = e & 0xFF, (e >> 8) & 0xFF, (e >> 16) & 0xFF
+            v = int(out[base + x])
+            green = (v >> 8) & 0xFF
+            red = ((v >> 16) & 0xFF) + _ct_delta(g2r, green)
+            red &= 0xFF
+            blue = (v & 0xFF) + _ct_delta(g2b, green)
+            blue = (blue + _ct_delta(r2b, red)) & 0xFF
+            out[base + x] = (v & 0xFF00FF00) | (red << 16) | blue
+    return out
+
+
+def _inv_subtract_green(img: np.ndarray) -> np.ndarray:
+    g = (img >> 8) & 0xFF
+    r = (((img >> 16) & 0xFF) + g) & 0xFF
+    b = ((img & 0xFF) + g) & 0xFF
+    return (img & 0xFF00FF00) | (r << 16) | b
+
+
+def _inv_color_index(img: np.ndarray, packed_w: int, w: int, h: int,
+                     palette: np.ndarray) -> np.ndarray:
+    """Palette lookup with sub-byte bundling: indices live in the green
+    channel, bits_per_pixel packed LSB-first within each byte."""
+    psize = len(palette)
+    if psize <= 2:
+        width_bits = 3
+    elif psize <= 4:
+        width_bits = 2
+    elif psize <= 16:
+        width_bits = 1
+    else:
+        width_bits = 0
+    bpp = 8 >> width_bits
+    mask = (1 << bpp) - 1
+    per = 1 << width_bits
+    greens = ((img >> 8) & 0xFF).reshape(h, packed_w)
+    out = np.zeros((h, w), np.uint32)
+    for y in range(h):
+        for x in range(w):
+            packed = int(greens[y, x >> width_bits])
+            idx = (packed >> ((x % per) * bpp)) & mask
+            out[y, x] = palette[idx] if idx < psize else 0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# VP8L stream decode
+# ---------------------------------------------------------------------------
+
+def _decode_vp8l(payload: bytes) -> np.ndarray:
+    if not payload or payload[0] != 0x2F:
+        raise ImageError("VP8L: bad signature byte")
+    br = _Bits(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha_is_used hint (informational)
+    if br.read(3) != 0:
+        raise ImageError("VP8L: unsupported version")
+    if w * h > (1 << 26):
+        # engine policy, not a spec limit: a handful of bits can declare
+        # a 16k x 16k all-copy image — refuse before allocating gigabytes
+        # for an OCR input that is never legitimately this large
+        raise ImageError(f"VP8L: {w}x{h} exceeds the 64M-pixel cap")
+
+    transforms = []  # (type, data, w_at_read, w_before)
+    cur_w = w
+    seen = set()
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ImageError("VP8L: transform repeated")
+        seen.add(ttype)
+        if ttype == 0:  # predictor
+            size_bits = br.read(3) + 2
+            mw, mh = _subsample(cur_w, size_bits), _subsample(h, size_bits)
+            sub = _decode_image_data(br, mw, mh, False)
+            transforms.append((0, (size_bits, (sub >> 8) & 0xFF),
+                               cur_w, cur_w))
+        elif ttype == 1:  # color transform
+            size_bits = br.read(3) + 2
+            mw, mh = _subsample(cur_w, size_bits), _subsample(h, size_bits)
+            sub = _decode_image_data(br, mw, mh, False)
+            transforms.append((1, (size_bits, sub), cur_w, cur_w))
+        elif ttype == 2:  # subtract green
+            transforms.append((2, None, cur_w, cur_w))
+        else:  # color indexing
+            psize = br.read(8) + 1
+            deltas = _decode_image_data(br, psize, 1, False)
+            palette = np.zeros(psize, np.uint32)
+            prev = 0
+            for i in range(psize):
+                d = int(deltas[i])
+                p = int(prev)
+                prev = ((((p >> 24) + (d >> 24)) & 0xFF) << 24
+                        | ((((p >> 16) & 0xFF) + ((d >> 16) & 0xFF))
+                           & 0xFF) << 16
+                        | ((((p >> 8) & 0xFF) + ((d >> 8) & 0xFF))
+                           & 0xFF) << 8
+                        | (((p & 0xFF) + (d & 0xFF)) & 0xFF))
+                palette[i] = prev
+            w_before = cur_w
+            if psize <= 2:
+                cur_w = _subsample(cur_w, 3)
+            elif psize <= 4:
+                cur_w = _subsample(cur_w, 2)
+            elif psize <= 16:
+                cur_w = _subsample(cur_w, 1)
+            transforms.append((3, palette, cur_w, w_before))
+
+    img = _decode_image_data(br, cur_w, h, True)
+
+    for ttype, data, w_at, w_before in reversed(transforms):
+        if ttype == 0:
+            img = _inv_predictor(img, w_at, h, data[0], data[1])
+        elif ttype == 1:
+            img = _inv_color_transform(img, w_at, h, data[0], data[1])
+        elif ttype == 2:
+            img = _inv_subtract_green(img)
+        else:
+            img = _inv_color_index(img, w_at, w_before, h, data)
+            cur_w = w_before
+
+    argb = img.reshape(h, w)
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[:, :, 0] = (argb >> 16) & 0xFF
+    rgb[:, :, 1] = (argb >> 8) & 0xFF
+    rgb[:, :, 2] = argb & 0xFF
+    return rgb
+
+
+def decode_webp(buf: bytes) -> np.ndarray:
+    """RIFF container walk → VP8L decode. Lossy VP8 → real-codec hook."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        raise ImageError(f"not a WebP payload: {buf[:4]!r}")
+
+    def chunks(data: bytes, off: int):
+        while off + 8 <= len(data):
+            fourcc = data[off:off + 4]
+            size = struct.unpack("<I", data[off + 4:off + 8])[0]
+            body = data[off + 8:off + 8 + size]
+            if len(body) < size:
+                raise ImageError(f"VP8L: truncated {fourcc!r} chunk")
+            yield fourcc, body
+            off += 8 + size + (size & 1)  # chunks are word-padded
+
+    lossy = False
+    for fourcc, body in chunks(buf, 12):
+        if fourcc == b"VP8L":
+            return _wrap_decode(body)
+        if fourcc == b"VP8 ":
+            lossy = True
+        if fourcc == b"VP8X":
+            continue  # extended header; image chunk follows at top level
+    if lossy:
+        return _decode_real(buf)  # lossy VP8: guarded real-codec hook
+    raise ImageError("WebP container has no VP8L or VP8 image chunk")
+
+
+def _wrap_decode(payload: bytes) -> np.ndarray:
+    try:
+        return _decode_vp8l(payload)
+    except (ImageError, NotImplementedError):
+        raise
+    except (ValueError, IndexError, OverflowError, struct.error) as exc:
+        raise ImageError(f"VP8L: corrupt stream ({exc})") from exc
+
+
+# ---------------------------------------------------------------------------
+# encoder twin (fixture side)
+# ---------------------------------------------------------------------------
+
+def _huffman_lengths(freqs: dict[int, int], max_len: int) -> dict[int, int]:
+    """Code lengths from frequencies: plain Huffman, falling back to a
+    balanced ceil(log2(n))-bit code if any length would exceed max_len
+    (always legal; package-merge is overkill for fixture streams)."""
+    syms = sorted(freqs)
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    heap = sorted((f, (s,)) for s, f in freqs.items())
+    import heapq
+    heapq.heapify(heap)
+    depth = {s: 0 for s in syms}
+    while len(heap) > 1:
+        f1, g1 = heapq.heappop(heap)
+        f2, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, g1 + g2))
+    if max(depth.values()) > max_len:
+        nbits = max(1, (len(syms) - 1).bit_length())
+        if nbits > max_len:
+            raise ImageError("VP8L encoder: alphabet too large for code")
+        return {s: nbits for s in syms}
+    return depth
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """(code, length) per symbol under the canonical assignment the
+    decoder expects (sorted by length then symbol). A one-symbol code
+    consumes zero bits on the wire — mirror that here or the emitter
+    desyncs from the reader by one bit per token."""
+    if len(lengths) == 1:
+        return {next(iter(lengths)): (0, 0)}
+    order = sorted(lengths.items(), key=lambda kv: (kv[1], kv[0]))
+    codes = {}
+    code = 0
+    prev_len = order[0][1]
+    for sym, ln in order:
+        code <<= ln - prev_len
+        codes[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return codes
+
+
+def _prefix_encode_val(v: int) -> tuple[int, int, int]:
+    """Inverse of _prefix_val: value → (prefix code, extra value, extra
+    bit count)."""
+    v -= 1
+    if v < 4:
+        return v, 0, 0
+    k = v.bit_length() - 2
+    if v < (3 << k):
+        return 2 * k + 2, v - (2 << k), k
+    return 2 * k + 3, v - (3 << k), k
+
+
+def _write_prefix_code(bw: _BitW, lengths: dict[int, int],
+                       alphabet_size: int) -> dict[int, tuple[int, int]]:
+    """Serialize one prefix code (simple when ≤2 symbols, else the
+    code-length-coded normal form) and return the symbol→(code,len) map
+    for the data pass."""
+    syms = sorted(lengths)
+    if len(syms) <= 2 and syms[-1] <= 255:  # simple form stores 8-bit syms
+        bw.write(1, 1)                      # simple
+        bw.write(len(syms) - 1, 1)          # num_symbols - 1
+        first_8 = 1 if syms[0] > 1 else 0
+        bw.write(first_8, 1)
+        bw.write(syms[0], 8 if first_8 else 1)
+        if len(syms) == 2:
+            bw.write(syms[1], 8)
+            return {syms[0]: (0, 1), syms[1]: (1, 1)}
+        return {syms[0]: (0, 0)}
+
+    bw.write(0, 1)  # normal form
+    # expand to a full-length array, then RLE zeros with 17/18 codes
+    arr = [0] * alphabet_size
+    for s, ln in lengths.items():
+        arr[s] = ln
+    tokens: list[tuple[int, int, int]] = []  # (cl_symbol, extra, extra_bits)
+    i = 0
+    while i < alphabet_size:
+        if arr[i] == 0:
+            j = i
+            while j < alphabet_size and arr[j] == 0:
+                j += 1
+            run = j - i
+            while run >= 11:
+                chunk = min(run, 138)
+                tokens.append((18, chunk - 11, 7))
+                run -= chunk
+            while run >= 3:
+                chunk = min(run, 10)
+                tokens.append((17, chunk - 3, 3))
+                run -= chunk
+            for _ in range(run):
+                tokens.append((0, 0, 0))
+            i = j
+        else:
+            tokens.append((arr[i], 0, 0))
+            i += 1
+    cl_freqs: dict[int, int] = {}
+    for t, _, _ in tokens:
+        cl_freqs[t] = cl_freqs.get(t, 0) + 1
+    cl_lengths = _huffman_lengths(cl_freqs, 7)
+    cl_codes = _canonical_codes(cl_lengths)
+    # emit all 19 slots of the code-length code (4 + 15)
+    bw.write(15, 4)
+    for sym in _CL_ORDER:
+        bw.write(cl_lengths.get(sym, 0), 3)
+    bw.write(0, 1)  # no max-symbol cutoff: the token stream covers all
+    for t, extra, ebits in tokens:
+        c, ln = cl_codes[t]
+        bw.write_code(c, ln)
+        if ebits:
+            bw.write(extra, ebits)
+    return _canonical_codes(lengths)
+
+
+def _tokenize(pixels: np.ndarray, cache_bits: int,
+              rle: bool) -> list[tuple]:
+    """Token stream for one entropy-coded image. Tokens:
+    ('lit', a, r, g, b) | ('cache', idx) | ('copy', length, dist)."""
+    n = len(pixels)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [None] * cache_size
+    shift = 32 - cache_bits if cache_bits else 0
+    toks: list[tuple] = []
+    pos = 0
+    while pos < n:
+        px = int(pixels[pos])
+        if rle and pos > 0 and px == int(pixels[pos - 1]):
+            run = 1
+            while (pos + run < n and run < 4096
+                   and int(pixels[pos + run]) == px):
+                run += 1
+            if run >= 3:
+                toks.append(("copy", run, 1))
+                if cache_bits:
+                    cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> shift] = px
+                pos += run
+                continue
+        if cache_bits:
+            slot = (_CACHE_MULT * px & 0xFFFFFFFF) >> shift
+            if cache[slot] == px:
+                toks.append(("cache", slot))
+                pos += 1
+                continue
+            cache[slot] = px
+        toks.append(("lit", (px >> 24) & 0xFF, (px >> 16) & 0xFF,
+                     (px >> 8) & 0xFF, px & 0xFF))
+        pos += 1
+    return toks
+
+
+def _emit_image_data(bw: _BitW, pixels: np.ndarray, *,
+                     cache_bits: int = 0, rle: bool = False,
+                     level0: bool = False) -> None:
+    """Entropy-coded image body: no meta-prefix groups (single group),
+    optional color cache, optional dist-1 RLE backward references.
+    Only a level-0 (main) image carries the meta-prefix bit — always 0
+    from this writer; sub-images must not write it."""
+    toks = _tokenize(pixels, cache_bits, rle)
+    freqs: list[dict[int, int]] = [{}, {}, {}, {}, {}]
+
+    def bump(i, s):
+        freqs[i][s] = freqs[i].get(s, 0) + 1
+
+    for t in toks:
+        if t[0] == "lit":
+            bump(0, t[3])
+            bump(1, t[2])
+            bump(2, t[4])
+            bump(3, t[1])
+        elif t[0] == "cache":
+            bump(0, 280 + t[1])
+        else:
+            code, _, _ = _prefix_encode_val(t[1])
+            bump(0, 256 + code)
+            dcode, _, _ = _prefix_encode_val(t[2] + 120)
+            bump(4, dcode)
+    for i in (1, 2, 3, 4):
+        if not freqs[i]:
+            freqs[i][0] = 1  # unused alphabet still needs a legal code
+
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    if level0:
+        bw.write(0, 1)  # no meta prefix codes
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    sizes = (256 + 24 + cache_size, 256, 256, 256, 40)
+    codes = [_write_prefix_code(bw, _huffman_lengths(freqs[i], 15), sizes[i])
+             for i in range(5)]
+
+    for t in toks:
+        if t[0] == "lit":
+            for alpha_i, val in ((0, t[3]), (1, t[2]), (2, t[4]), (3, t[1])):
+                c, ln = codes[alpha_i][val]
+                bw.write_code(c, ln)
+        elif t[0] == "cache":
+            c, ln = codes[0][280 + t[1]]
+            bw.write_code(c, ln)
+        else:
+            code, extra, ebits = _prefix_encode_val(t[1])
+            c, ln = codes[0][256 + code]
+            bw.write_code(c, ln)
+            if ebits:
+                bw.write(extra, ebits)
+            dcode, dextra, debits = _prefix_encode_val(t[2] + 120)
+            c, ln = codes[4][dcode]
+            bw.write_code(c, ln)
+            if debits:
+                bw.write(dextra, debits)
+
+
+def _forward_predictor(argb: np.ndarray, w: int, h: int, size_bits: int,
+                       modes: np.ndarray) -> np.ndarray:
+    """Residuals such that _inv_predictor reproduces the input — shares
+    the _predict helper so both sides agree on border semantics."""
+    mode_w = _subsample(w, size_bits)
+    px = argb.reshape(h, w)
+    res = np.zeros((h, w), np.uint32)
+    for y in range(h):
+        mrow = modes[(y >> size_bits) * mode_w:]
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = _px4(int(px[0, x - 1]))
+            elif x == 0:
+                pred = _px4(int(px[y - 1, 0]))
+            else:
+                mode = int(mrow[x >> size_bits]) & 0xFF
+                L = _px4(int(px[y, x - 1]))
+                T = _px4(int(px[y - 1, x]))
+                TL = _px4(int(px[y - 1, x - 1]))
+                TR = (_px4(int(px[y, 0])) if x == w - 1
+                      else _px4(int(px[y - 1, x + 1])))
+                pred = _predict(mode, L, T, TL, TR)
+            cur = _px4(int(px[y, x]))
+            res[y, x] = (((cur[0] - pred[0]) & 0xFF) << 24
+                         | ((cur[1] - pred[1]) & 0xFF) << 16
+                         | ((cur[2] - pred[2]) & 0xFF) << 8
+                         | ((cur[3] - pred[3]) & 0xFF))
+    return res.reshape(-1)
+
+
+def _forward_color_transform(argb: np.ndarray, w: int, h: int,
+                             size_bits: int,
+                             elems: np.ndarray) -> np.ndarray:
+    ew = _subsample(w, size_bits)
+    out = argb.copy()
+    for y in range(h):
+        erow = elems[(y >> size_bits) * ew:]
+        base = y * w
+        for x in range(w):
+            e = int(erow[x >> size_bits])
+            g2r, g2b, r2b = e & 0xFF, (e >> 8) & 0xFF, (e >> 16) & 0xFF
+            v = int(out[base + x])
+            green = (v >> 8) & 0xFF
+            red = (v >> 16) & 0xFF
+            blue = v & 0xFF
+            new_blue = (blue - _ct_delta(r2b, red)) & 0xFF
+            new_red = (red - _ct_delta(g2r, green)) & 0xFF
+            new_blue = (new_blue - _ct_delta(g2b, green)) & 0xFF
+            out[base + x] = (v & 0xFF00FF00) | (new_red << 16) | new_blue
+    return out
+
+
+def encode_webp(arr: np.ndarray, *, subtract_green: bool = False,
+                predictor=None, predictor_bits: int = 4,
+                color_transform: tuple[int, int, int] | None = None,
+                palette: bool = False, cache_bits: int = 0,
+                rle: bool = False) -> bytes:
+    """VP8L writer for the fixture/round-trip side: uint8 gray ``(h,w)``
+    or RGB ``(h,w,3)``. ``predictor`` is a single mode (0-13) or a 2D
+    per-block mode array at ``predictor_bits`` block granularity;
+    ``color_transform`` is one uniform (g2r, g2b, r2b) element triple;
+    ``palette=True`` uses color indexing (≤256 distinct colors, packed
+    widths below 16 colors); ``rle`` emits distance-1 LZ77 runs;
+    ``cache_bits`` enables the color cache."""
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
+        raise ImageError("encode_webp wants uint8 (h,w) or (h,w,3)")
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    h, w = arr.shape[:2]
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ImageError("encode_webp: dims out of the 14-bit range")
+    argb = (np.full((h, w), 0xFF000000, np.uint32)
+            | (arr[:, :, 0].astype(np.uint32) << 16)
+            | (arr[:, :, 1].astype(np.uint32) << 8)
+            | arr[:, :, 2].astype(np.uint32)).reshape(-1)
+
+    bw = _BitW()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)   # alpha unused
+    bw.write(0, 3)   # version
+
+    cur_w = w
+    if palette:
+        if subtract_green or predictor is not None or color_transform:
+            raise ImageError("encode_webp: palette excludes other "
+                             "transforms in this writer")
+        colors = np.unique(argb)
+        if len(colors) > 256:
+            raise ImageError("encode_webp: palette needs ≤256 colors")
+        lut = {int(c): i for i, c in enumerate(colors)}
+        psize = len(colors)
+        bw.write(1, 1)
+        bw.write(3, 2)                  # color indexing
+        bw.write(psize - 1, 8)
+        deltas = np.zeros(psize, np.uint32)
+        prev = 0
+        for i, c in enumerate(colors):
+            c = int(c)
+            deltas[i] = ((((c >> 24) - (prev >> 24)) & 0xFF) << 24
+                         | ((((c >> 16) & 0xFF) - ((prev >> 16) & 0xFF))
+                            & 0xFF) << 16
+                         | ((((c >> 8) & 0xFF) - ((prev >> 8) & 0xFF))
+                            & 0xFF) << 8
+                         | (((c & 0xFF) - (prev & 0xFF)) & 0xFF))
+            prev = c
+        _emit_image_data(bw, deltas)
+        if psize <= 2:
+            width_bits = 3
+        elif psize <= 4:
+            width_bits = 2
+        elif psize <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        bpp = 8 >> width_bits
+        per = 1 << width_bits
+        cur_w = _subsample(w, width_bits)
+        packed = np.zeros((h, cur_w), np.uint32)
+        flat = argb.reshape(h, w)
+        for y in range(h):
+            for x in range(w):
+                packed[y, x >> width_bits] |= \
+                    lut[int(flat[y, x])] << ((x % per) * bpp)
+        argb = (0xFF000000 | (packed << 8)).astype(np.uint32).reshape(-1)
+    else:
+        if subtract_green:
+            bw.write(1, 1)
+            bw.write(2, 2)
+            g = (argb >> 8) & 0xFF
+            r = (((argb >> 16) & 0xFF) - g) & 0xFF
+            b = ((argb & 0xFF) - g) & 0xFF
+            argb = (argb & 0xFF00FF00) | (r << 16) | b
+        if color_transform is not None:
+            bw.write(1, 1)
+            bw.write(1, 2)
+            size_bits = 4
+            bw.write(size_bits - 2, 3)
+            ew, eh = _subsample(cur_w, size_bits), _subsample(h, size_bits)
+            g2r, g2b, r2b = (v & 0xFF for v in color_transform)
+            elem = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+            elems = np.full(ew * eh, elem, np.uint32)
+            _emit_image_data(bw, elems)
+            argb = _forward_color_transform(argb, cur_w, h, size_bits, elems)
+        if predictor is not None:
+            bw.write(1, 1)
+            bw.write(0, 2)
+            size_bits = predictor_bits
+            if not 2 <= size_bits <= 9:
+                raise ImageError("encode_webp: predictor_bits in [2,9]")
+            bw.write(size_bits - 2, 3)
+            mw, mh = _subsample(cur_w, size_bits), _subsample(h, size_bits)
+            if isinstance(predictor, int):
+                modes = np.full(mw * mh, predictor, np.uint8)
+            else:
+                modes = np.asarray(predictor, np.uint8).reshape(mw * mh)
+            if modes.max() > 13:
+                raise ImageError("encode_webp: predictor mode in [0,13]")
+            mode_px = (0xFF000000
+                       | (modes.astype(np.uint32) << 8)).reshape(-1)
+            _emit_image_data(bw, mode_px)
+            argb = _forward_predictor(argb, cur_w, h, size_bits, modes)
+    bw.write(0, 1)  # end of transforms
+    _emit_image_data(bw, argb, cache_bits=cache_bits, rle=rle, level0=True)
+
+    payload = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\0"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

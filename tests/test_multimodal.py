@@ -162,6 +162,46 @@ def test_image_stats_sniff_codec_over_tiff(spark):
         assert r["mean_intensity"] == pytest.approx(to_gray(img).mean())
 
 
+def test_image_stats_sniff_codec_over_webp(spark):
+    """WebP (VP8L) payloads — the final format in the reference's
+    accepted set — flow through the same Spark plumbing; lossless, so
+    stats must match the source exactly. Variants exercise predictor,
+    palette, and cache+RLE decode paths in-plan."""
+    import pandas as pd
+
+    from advanced_text_extraction_spark.kernels.image_prep import to_gray
+    from advanced_text_extraction_spark.kernels.webp_codec import (
+        encode_webp)
+
+    rng = np.random.default_rng(29)
+    imgs = {
+        0: rng.integers(0, 256, (24, 32), dtype=np.uint8),
+        1: rng.integers(0, 256, (19, 27, 3), dtype=np.uint8),
+        2: (rng.integers(0, 4, (20, 28), dtype=np.uint8) * 80),
+    }
+    payloads = {
+        0: encode_webp(imgs[0], subtract_green=True, predictor=11),
+        1: encode_webp(imgs[1], cache_bits=4, rle=True),
+        2: encode_webp(imgs[2], palette=True),
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": list(payloads),
+                      "kind": ["image"] * 3,
+                      "payload": list(payloads.values()),
+                      "meta": [{}] * 3}),
+        schema=M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r
+           for r in M.image_stats(df, codec="sniff").collect()}
+    for mid, img in imgs.items():
+        r = out[mid]
+        assert r["status"] == "ok"
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        # decode_webp always yields RGB; gray sources pass through the
+        # luma conversion too (float truncation can shave 1 off a value)
+        rgb = img if img.ndim == 3 else np.stack([img] * 3, axis=-1)
+        assert r["mean_intensity"] == pytest.approx(to_gray(rgb).mean())
+
+
 def test_image_stats_sniff_codec_over_progressive_jpeg(spark):
     """Progressive (SOF2) JPEG payloads decode natively through the same
     Spark plumbing — no cv2 hook on the default path (r3: the remaining
