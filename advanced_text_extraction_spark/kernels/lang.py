@@ -183,6 +183,16 @@ _BOOST_RES: dict[str, re.Pattern] = {
 
 _MIN_HITS = 2
 
+# inverted stopword index: token -> languages claiming it. Scoring all 20
+# Latin profiles is then ONE pass over the token list (a dict probe per
+# token, C-speed) instead of 20 membership scans — measured 288 -> ~60
+# us/doc on transcript-shaped text; this runs per turn inside the
+# extraction kernel's hot path, ~46% of the whole extract cost before.
+_STOP_LANGS: dict[str, tuple[str, ...]] = {}
+for _lang, _words in STOPWORDS.items():
+    for _w in _words:
+        _STOP_LANGS[_w] = _STOP_LANGS.get(_w, ()) + (_lang,)
+
 
 def detect_language(text: str) -> str:
     """argmax of marker counts (stopword hits for Latin profiles, script
@@ -192,17 +202,21 @@ def detect_language(text: str) -> str:
     if not text:
         return "unknown"
     lowered = text.lower()
-    scores: dict[str, int] = {
-        lang: len(rx.findall(text)) for lang, rx in _SCRIPT_RES.items()
-    }
-    for lang, rx in _BOOST_RES.items():
-        scores[lang] = len(rx.findall(lowered))
-    for lang, (base, _) in BOOSTS.items():
-        if scores[lang] >= _MIN_HITS:
-            scores[lang] += scores[base]
-    tokens = _TOKEN_RE.findall(lowered)
-    for lang in STOPWORDS:
-        scores[lang] = sum(1 for tok in tokens if tok in STOPWORDS[lang])
+    scores: dict[str, int] = {}
+    # every script range and boost pattern is non-ASCII, so pure-ASCII
+    # text (the overwhelming transcript case) scores 0 on all of them —
+    # isascii() is a C-speed gate that skips 20 whole-string regex scans
+    if not lowered.isascii():
+        for lang, rx in _SCRIPT_RES.items():
+            scores[lang] = len(rx.findall(text))
+        for lang, rx in _BOOST_RES.items():
+            scores[lang] = len(rx.findall(lowered))
+        for lang, (base, _) in BOOSTS.items():
+            if scores.get(lang, 0) >= _MIN_HITS:
+                scores[lang] += scores.get(base, 0)
+    for tok in _TOKEN_RE.findall(lowered):
+        for lang in _STOP_LANGS.get(tok, ()):
+            scores[lang] = scores.get(lang, 0) + 1
     best_lang, best_hits = "unknown", 0
     for lang in sorted(scores):
         if scores[lang] > best_hits:
