@@ -45,7 +45,7 @@ STOPWORDS: dict[str, frozenset[str]] = {
         "muy sin sobre también hasta donde".split()
     ),
     "fr": frozenset(
-        "le les des une est dans qui pas sur vous nous avec être cette "
+        "le les des une est dans qui pas sur vous nous avec pour cette "
         "mais ont aux ses fait aussi".split()
     ),
     "de": frozenset(

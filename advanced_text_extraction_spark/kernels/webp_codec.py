@@ -71,6 +71,20 @@ def _subsample(size: int, bits: int) -> int:
     return (size + (1 << bits) - 1) >> bits
 
 
+def _palette_width_bits(psize: int) -> int:
+    """Pixel-bundling ladder (spec §4.5): how many width-subsample bits
+    a palette of this size packs into each green byte. Shared by the
+    transform reader, the inverse transform, and the encoder so the
+    three can never disagree on packed width."""
+    if psize <= 2:
+        return 3
+    if psize <= 4:
+        return 2
+    if psize <= 16:
+        return 1
+    return 0
+
+
 # ---------------------------------------------------------------------------
 # bit I/O (LSB-first, per spec §5.1)
 # ---------------------------------------------------------------------------
@@ -414,7 +428,7 @@ def _inv_predictor(img: np.ndarray, w: int, h: int,
         return _px4(int(out[yy, xx]))
 
     for y in range(h):
-        mrow = modes[(y >> size_bits) * mode_w:] if size_bits >= 0 else None
+        mrow = modes[(y >> size_bits) * mode_w:]
         for x in range(w):
             if x == 0 and y == 0:
                 pred = (255, 0, 0, 0)
@@ -479,14 +493,7 @@ def _inv_color_index(img: np.ndarray, packed_w: int, w: int, h: int,
     """Palette lookup with sub-byte bundling: indices live in the green
     channel, bits_per_pixel packed LSB-first within each byte."""
     psize = len(palette)
-    if psize <= 2:
-        width_bits = 3
-    elif psize <= 4:
-        width_bits = 2
-    elif psize <= 16:
-        width_bits = 1
-    else:
-        width_bits = 0
+    width_bits = _palette_width_bits(psize)
     bpp = 8 >> width_bits
     mask = (1 << bpp) - 1
     per = 1 << width_bits
@@ -556,12 +563,7 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
                         | (((p & 0xFF) + (d & 0xFF)) & 0xFF))
                 palette[i] = prev
             w_before = cur_w
-            if psize <= 2:
-                cur_w = _subsample(cur_w, 3)
-            elif psize <= 4:
-                cur_w = _subsample(cur_w, 2)
-            elif psize <= 16:
-                cur_w = _subsample(cur_w, 1)
+            cur_w = _subsample(cur_w, _palette_width_bits(psize))
             transforms.append((3, palette, cur_w, w_before))
 
     img = _decode_image_data(br, cur_w, h, True)
@@ -575,7 +577,6 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
             img = _inv_subtract_green(img)
         else:
             img = _inv_color_index(img, w_at, w_before, h, data)
-            cur_w = w_before
 
     argb = img.reshape(h, w)
     rgb = np.zeros((h, w, 3), np.uint8)
@@ -627,9 +628,13 @@ def _wrap_decode(payload: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _huffman_lengths(freqs: dict[int, int], max_len: int) -> dict[int, int]:
-    """Code lengths from frequencies: plain Huffman, falling back to a
-    balanced ceil(log2(n))-bit code if any length would exceed max_len
-    (always legal; package-merge is overkill for fixture streams)."""
+    """Code lengths from frequencies: plain Huffman, falling back to the
+    COMPLETE near-balanced code when any length would exceed max_len.
+    The fallback must satisfy Kraft equality, not just fit the width —
+    a flat ceil(log2(n))-bit code over a non-power-of-two alphabet is
+    incomplete and the decoder (ours and libwebp's) rejects it: with
+    k = ceil(log2(n)), give the 2**k - n most frequent symbols k-1 bits
+    and the rest k, which sums to exactly 1."""
     syms = sorted(freqs)
     if len(syms) == 1:
         return {syms[0]: 1}
@@ -644,10 +649,14 @@ def _huffman_lengths(freqs: dict[int, int], max_len: int) -> dict[int, int]:
             depth[s] += 1
         heapq.heappush(heap, (f1 + f2, g1 + g2))
     if max(depth.values()) > max_len:
-        nbits = max(1, (len(syms) - 1).bit_length())
-        if nbits > max_len:
+        n = len(syms)
+        k = (n - 1).bit_length()
+        if k > max_len:
             raise ImageError("VP8L encoder: alphabet too large for code")
-        return {s: nbits for s in syms}
+        n_short = (1 << k) - n
+        by_freq = sorted(syms, key=lambda s: (-freqs[s], s))
+        return {s: (k - 1 if i < n_short else k)
+                for i, s in enumerate(by_freq)}
     return depth
 
 
@@ -952,14 +961,7 @@ def encode_webp(arr: np.ndarray, *, subtract_green: bool = False,
                          | (((c & 0xFF) - (prev & 0xFF)) & 0xFF))
             prev = c
         _emit_image_data(bw, deltas)
-        if psize <= 2:
-            width_bits = 3
-        elif psize <= 4:
-            width_bits = 2
-        elif psize <= 16:
-            width_bits = 1
-        else:
-            width_bits = 0
+        width_bits = _palette_width_bits(psize)
         bpp = 8 >> width_bits
         per = 1 << width_bits
         cur_w = _subsample(w, width_bits)

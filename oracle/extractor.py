@@ -63,7 +63,7 @@ _LANG_MARKERS = {
               "they from but what all can".split()),
     "es": set("el los las una por con para como pero más este esta ser hay "
               "muy sin sobre también hasta donde".split()),
-    "fr": set("le les des une est dans qui pas sur vous nous avec être "
+    "fr": set("le les des une est dans qui pas sur vous nous avec pour "
               "cette mais ont aux ses fait aussi".split()),
     "id": set("yang dan dengan untuk dari ini itu tidak akan pada juga "
               "adalah bisa sudah telah".split()),

@@ -99,8 +99,10 @@ def test_lang_marker_sets_keep_sql_tier_contract():
     """SPEC §5 invariants every profile must hold so the codegen'd SQL
     tier and the DuckDB oracle can count the same hits: marker sets
     pairwise DISJOINT, and every word starts AND ends with an ASCII
-    letter (\\b is ASCII-word-based in Java regex and RE2) — except the
-    documented pre-rule grandfather 'être'."""
+    letter (\\b is ASCII-word-based in Java regex and RE2). The former
+    'être' grandfather is gone (r4): the kernel tier counted it while
+    the SQL tier's \\b alternation never could, a latent tier
+    divergence on ordinary French prose — 'pour' replaces it."""
     import itertools
     import string
 
@@ -113,8 +115,6 @@ def test_lang_marker_sets_keep_sql_tier_contract():
     ascii_letters = set(string.ascii_lowercase)
     for lang, words in STOPWORDS.items():
         for word in words:
-            if word == "être":  # documented exception, never SQL-counted
-                continue
             assert word[0] in ascii_letters and word[-1] in ascii_letters, \
                 f"{lang}:{word} breaks the ASCII-edge rule"
 

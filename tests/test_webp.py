@@ -249,6 +249,28 @@ def test_malformed_inputs_raise_typed_error():
             decode_webp(buf)
 
 
+def test_depth_limited_fallback_is_a_complete_code():
+    """Fibonacci-weighted frequencies push plain Huffman past any depth
+    cap; the fallback must emit a COMPLETE near-balanced code (Kraft
+    sum exactly 1) — a flat ceil(log2(n))-bit code over a
+    non-power-of-two alphabet is incomplete and the decoder rejects the
+    whole stream (r4 review finding)."""
+    freqs = {s: f for s, f in enumerate([1, 1, 2, 3, 5, 8, 13, 21, 34, 55])}
+    lengths = _huffman_lengths(freqs, 7)
+    assert max(lengths.values()) <= 7
+    assert sum(2.0 ** -l for l in lengths.values()) == 1.0
+    # and end-to-end through the serializer + decoder
+    bw = _BitW()
+    codes = _write_prefix_code(bw, lengths, 256)
+    from advanced_text_extraction_spark.kernels.webp_codec import (
+        _Bits, _read_prefix_code)
+    p = _read_prefix_code(_Bits(bw.bytes()), 256)
+    for sym, (code, ln) in codes.items():
+        bw2 = _BitW()
+        bw2.write_code(code, ln)
+        assert p.read(_Bits(bw2.bytes() or b"\0")) == sym
+
+
 def test_oversized_dims_rejected_before_allocation():
     bw = _BitW()
     _header(bw, 16384, 16384)
