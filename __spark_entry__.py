@@ -348,10 +348,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_stats"] = lambda s, d: C.repetition_stats(
         _spread(_t(s, d, "documents")), "doc_id", "text")
+    # longform strata (see _synth_longform) so both keep branches and the
+    # 'lm' reason actually appear under the hard gate — the raw sf0.01
+    # corpus is all-reject (VERDICT r4 #1)
     q["curation_policy"] = lambda s, d: C.curation_policy(
-        _t(s, d, "documents"), "doc_id", "text")
+        _synth_longform(_t(s, d, "documents"), F.col("doc_id")),
+        "doc_id", "text")
     q["gopher_quality_flags"] = lambda s, d: C.gopher_quality_flags(
-        _spread(_t(s, d, "documents")), "doc_id", "text")
+        _synth_longform(_spread(_t(s, d, "documents")), F.col("doc_id")),
+        "doc_id", "text")
     # benchmark = every 41st doc: the flagged set must contain exactly the
     # benchmark docs themselves (contamination 1.0) plus any true near-dups
     q["decontaminate"] = lambda s, d: C.decontaminate(
@@ -437,6 +442,65 @@ def _gate_order(q: dict) -> dict:
             f"or prune (r3 lost both e2e flagships to this silently)")
     head.update({k: q[k] for k in GATE_TAIL if k in q})
     return head
+
+
+# ---- longform synth (VERDICT r4 #1): the sf0.01 corpus fails the Gopher
+# stopword gate for EVERY row (its synth vocabulary contains 'the' and
+# nothing else from the stopword list, and only 277/500 docs clear the
+# 50-word floor), so the r4 curation gates were green on an all-reject
+# corpus and curate_e2e hash-matched on 0 rows — proving nothing about
+# the keep branch. Expand two deterministic doc strata past the gates. ----
+_LONGFORM_FILLER = (" the data and model have to be of use with that we"
+                    " train for scale")
+
+
+def _synth_longform(docs: DataFrame, key, text_col: str = "text") -> DataFrame:
+    """Deterministically expand two doc strata past the Gopher gates so
+    the curation family exercises BOTH keep branches under the hard gate:
+
+    - ``key % 3 == 0`` → +3 repeats of an English filler carrying all
+      eight Gopher stopwords (~45 words): passes every gate → keep=true;
+    - ``key % 9 == 1`` → +' to of' (two distinct stopwords) + 200
+      doc-unique rare tokens: clears the Gopher rules but the rare tail
+      drags the unigram-LM proxy below -4.0 for the shorter docs →
+      ``reasons='lm'`` rows, exercising the reason composition beyond
+      'gopher'. Measured split at sf0.01: 197 keep / 277 'gopher' /
+      26 'lm'.
+
+    ``key`` is an integer Column; mirrored as a SQL CASE by
+    ``_longform_case_sql`` (the ``_synth_pii`` pattern)."""
+    base = F.coalesce(F.col(text_col), F.lit(""))
+    k = key.cast("int")
+    rare = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.lit(200)),
+                    lambda i: F.concat(F.lit(" zq"), k.cast("string"),
+                                       F.lit("x"), i.cast("string"))),
+        "")
+    t = (F.when(k % 3 == 0, F.concat(base, F.lit(_LONGFORM_FILLER * 3)))
+         .when(k % 9 == 1, F.concat(base, F.lit(" to of"), rare))
+         .otherwise(F.col(text_col)))
+    return docs.withColumn(text_col, t)
+
+
+def _longform_case_sql(key: str, text: str) -> str:
+    """DuckDB twin of ``_synth_longform`` as a CASE expression over the
+    given key/text SQL expressions."""
+    return f"""CASE
+        WHEN ({key}) % 3 = 0
+             THEN coalesce({text}, '') || repeat('{_LONGFORM_FILLER}', 3)
+        WHEN ({key}) % 9 = 1
+             THEN coalesce({text}, '') || ' to of' ||
+                  list_aggr(list_transform(generate_series(1, 200),
+                      i -> ' zq' || CAST(({key}) AS VARCHAR) || 'x'
+                           || CAST(i AS VARCHAR)), 'string_agg', '')
+        ELSE {text} END"""
+
+
+# documents with the longform strata applied — the shared src for the
+# curation-gate oracles (gopher/policy), matching the Spark-side wrap
+_LONGFORM_DOCS = (
+    f"(SELECT doc_id, {_longform_case_sql('doc_id', 'text')} AS text"
+    "  FROM documents)")
 
 
 def _synth_pii(docs: DataFrame) -> DataFrame:
@@ -529,7 +593,16 @@ def _curate_e2e(s: SparkSession, d: str) -> DataFrame:
     from advanced_text_extraction_spark.operators import curation as C
     from advanced_text_extraction_spark.operators import sampling as SMP
 
-    ext = _flagship_extracted(s, d, include_pdf=False).select(
+    # longform strata over the EXTRACTED corpus (keyed on conv number +
+    # turn_idx — both sides deterministic) so the policy gate, keep-join
+    # and sample all run on a keep-mixed corpus (VERDICT r4 #1: the raw
+    # extraction output is all-reject at sf0.01 and this flagship
+    # hash-matched on 0 rows)
+    key = (F.regexp_extract(F.col("conv_id"), r"(\d+)", 1).cast("int")
+           + F.col("turn_idx"))
+    ext = _synth_longform(
+        _flagship_extracted(s, d, include_pdf=False), key,
+        "extracted_text").select(
         F.concat(F.col("conv_id"), F.lit("#"),
                  F.col("turn_idx").cast("string")).alias("doc_key"),
         "content_type", "extracted_text").persist()
@@ -1657,7 +1730,7 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0 END, 6) AS dup_para_frac
         FROM s"""
 
-    o["gopher_quality_flags"] = _gopher_sql()
+    o["gopher_quality_flags"] = _gopher_sql(_LONGFORM_DOCS)
 
     o["decontaminate"] = _shingles + """,
         bench AS (SELECT DISTINCT shingle FROM shin WHERE doc_id % 41 = 0),
@@ -1818,15 +1891,20 @@ def oracle_sql() -> dict[str, str]:
     # composite curation gate: the three sub-oracles verbatim as CTEs —
     # the composition itself is the thing under test, each tier is
     # already hash-gated on its own
-    o["curation_policy"] = _policy_sql()
+    o["curation_policy"] = _policy_sql(_LONGFORM_DOCS)
 
     # flagship curation pipeline: the e2e extraction oracle feeds the
     # SAME parameterized policy builder (src=the extracted corpus), then
-    # the md5-draw sample filter — extract → gate → rebalance, one hash
+    # the md5-draw sample filter — extract → gate → rebalance, one hash.
+    # The longform CASE mirrors _curate_e2e's keep-mixed synth (key =
+    # conv number + turn_idx).
+    _e2e_key = "CAST(regexp_extract(conv_id, '(\\d+)', 1) AS INT) + turn_idx"
     o["curate_e2e"] = f"""
         WITH corpus AS (
             SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_key,
-                   content_type, extracted_text
+                   content_type,
+                   {_longform_case_sql(_e2e_key, 'extracted_text')}
+                       AS extracted_text
             FROM ({o["extract_transcripts_e2e"]})),
         pol AS ({_policy_sql("corpus", "doc_key", "extracted_text")}),
         kept AS (

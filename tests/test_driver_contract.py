@@ -61,6 +61,13 @@ def duck():
     return con
 
 
+# Queries allowed to return 0 rows. NONE today: an empty result means the
+# gate proved nothing (VERDICT r4 #1 — curate_e2e hash-matched on 0 rows
+# for a full round because the sf0.01 corpus was all-reject at the Gopher
+# gate). Add a name here only with a comment saying WHY empty is correct.
+EMPTY_OK: set[str] = set()
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, duck):
     sdf = QUERIES[name](spark, SF_DIR)
@@ -71,6 +78,10 @@ def test_query_matches_oracle(name, spark, duck):
     dcols = [c[0] for c in res.description]
     drows = res.fetchall()
 
+    if name not in EMPTY_OK:
+        assert len(srows) > 0, (
+            f"{name}: 0 rows — vacuously green (the oracle can only "
+            f"confirm what the query actually emits)")
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
     assert len(srows) == len(drows), (
         f"{name}: row count {len(srows)} (spark) vs {len(drows)} (duckdb)")
@@ -78,6 +89,28 @@ def test_query_matches_oracle(name, spark, duck):
     d_set = _rowset(dcols, drows)
     mism = [(a, b) for a, b in zip(s_set, d_set) if a != b]
     assert not mism, f"{name}: {len(mism)} differing rows; first: {mism[0]}"
+
+
+def test_gate_queries_cover_both_branches(duck):
+    """Boolean-gate queries must see BOTH branches in the gated corpus —
+    a one-sided gate (all-keep or all-reject) hash-matches while proving
+    nothing about the other branch (VERDICT r4 #1: every sf0.01 row was
+    gopher_keep=false for a full round). Checked on the oracle side: the
+    parametrized hash gate above already pins Spark ≡ oracle, so a
+    two-branch oracle implies a two-branch Spark result."""
+    for name, col in [("gopher_quality_flags", "gopher_keep"),
+                      ("curation_policy", "keep"),
+                      ("decontaminate", "flagged")]:
+        vals = {r[0] for r in duck.execute(
+            f"SELECT DISTINCT {col} FROM ({ORACLES[name]})").fetchall()}
+        assert vals == {True, False}, (
+            f"{name}.{col}: one-sided gate — saw only {vals}")
+    # the flagship's downstream stages (keep-join, stratified draw) must
+    # see more than one stratum, not just >0 rows
+    types = {r[0] for r in duck.execute(
+        f"SELECT DISTINCT content_type FROM ({ORACLES['curate_e2e']})"
+    ).fetchall()}
+    assert len(types) >= 2, f"curate_e2e: single-stratum sample {types}"
 
 
 def test_every_query_runs(spark):
