@@ -209,8 +209,15 @@ def _read_prefix_code(br: _Bits, alphabet_size: int) -> _Prefix:
             if s1 >= alphabet_size or s1 == s0:
                 raise ImageError("VP8L: bad simple-code symbol pair")
             lengths[s0] = lengths[s1] = 1
-        else:
-            lengths[s0] = 1  # one symbol: _Prefix reads zero bits
+            p = _Prefix(lengths)
+            # libwebp assigns code 0 to the FIRST STORED symbol, not by
+            # canonical symbol-value order: a foreign file storing the
+            # pair descending (s0=200, s1=3) must decode 0→200, 1→3
+            # (ADVICE r4; our encoder stores ascending, where the two
+            # orders coincide)
+            p.syms = [s0, s1]
+            return p
+        lengths[s0] = 1  # one symbol: _Prefix reads zero bits
         return _Prefix(lengths)
 
     num_cl = 4 + br.read(4)
@@ -520,11 +527,14 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
     br.read(1)  # alpha_is_used hint (informational)
     if br.read(3) != 0:
         raise ImageError("VP8L: unsupported version")
-    if w * h > (1 << 26):
-        # engine policy, not a spec limit: a handful of bits can declare
-        # a 16k x 16k all-copy image — refuse before allocating gigabytes
-        # for an OCR input that is never legitimately this large
-        raise ImageError(f"VP8L: {w}x{h} exceeds the 64M-pixel cap")
+    if w * h > (1 << 20):
+        # engine policy, not a spec limit, and it bounds CPU as well as
+        # allocation: the literal/LZ77 + inverse-predictor loops are
+        # per-pixel pure Python (~16 us/px), so a ~200-byte crafted file
+        # declaring 8k x 8k would otherwise pin an executor core for ~18
+        # minutes (ADVICE r4). 1M px (e.g. 1024x1024, ~17 s worst case)
+        # is far above any real OCR input in this engine.
+        raise ImageError(f"VP8L: {w}x{h} exceeds the 1M-pixel cap")
 
     transforms = []  # (type, data, w_at_read, w_before)
     cur_w = w

@@ -514,7 +514,10 @@ def test_lsh_query_bucket_mirrors_spark_nan_semantics(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = lsh_bucket_topk(df, nanvec, k=10, n_bits=4).collect()
     assert {r["vec_id"] for r in got} == {0, 1, 2, 3}
-    assert all(not math.isnan(r["cos_sim"]) or True for r in got)
+    # every returned row carries a NaN component, so its cosine is NaN —
+    # the property under test is that NaN rows bucket deterministically
+    # and surface, not that they score
+    assert all(math.isnan(r["cos_sim"]) for r in got)
 
 
 def test_lsh_bucket_topk_small_dim_query(spark):

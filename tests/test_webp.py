@@ -271,10 +271,30 @@ def test_depth_limited_fallback_is_a_complete_code():
         assert p.read(_Bits(bw2.bytes() or b"\0")) == sym
 
 
+def test_simple_code_pair_storage_order_not_canonical():
+    """libwebp assigns code 0 to the FIRST STORED symbol of a simple
+    2-symbol code; a foreign file storing the pair descending (s0=200,
+    s1=3) must decode 0→200, 1→3 — canonical (by-value) assignment would
+    swap them (ADVICE r4)."""
+    from advanced_text_extraction_spark.kernels.webp_codec import (
+        _Bits, _BitW, _read_prefix_code)
+    bw = _BitW()
+    bw.write(1, 1)    # simple form
+    bw.write(1, 1)    # two symbols
+    bw.write(1, 1)    # first symbol stored in 8 bits
+    bw.write(200, 8)  # s0
+    bw.write(3, 8)    # s1
+    p = _read_prefix_code(_Bits(bw.bytes()), 256)
+    for code, sym in [(0, 200), (1, 3)]:
+        bw2 = _BitW()
+        bw2.write_code(code, 1)
+        assert p.read(_Bits(bw2.bytes() or b"\0")) == sym
+
+
 def test_oversized_dims_rejected_before_allocation():
     bw = _BitW()
     _header(bw, 16384, 16384)
-    with pytest.raises(ImageError, match="64M-pixel"):
+    with pytest.raises(ImageError, match="1M-pixel"):
         decode_webp(_wrap(bw))
 
 
