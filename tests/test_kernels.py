@@ -95,6 +95,68 @@ def test_lang_latin_breadth():
     assert detect_language("hogy nem egy ház volt csak vagy minden") == "hu"
 
 
+def test_lang_tier4_latin_breadth():
+    # tier 4 (langdetect parity): one sample per new Latin profile,
+    # built mostly from that language's markers with sibling-shared
+    # filler — the sibling's own markers must still dominate its text
+    assert detect_language("hva skjer etter at dere har vært der") == "no"
+    assert detect_language("see on ning kuid samuti ainult selle nagu") == "et"
+    assert detect_language("kas bija tikai savu bet tomēr vēl tiek") == "lv"
+    assert detect_language("yra kad kaip taip savo buvo labai apie") == "lt"
+    assert detect_language("ako iba bolo alebo medzi veľmi aj ešte") == "sk"
+    assert detect_language("tudi lahko ker vendar zelo kot tega morda") == "sl"
+    assert detect_language("baie hulle sal vir oor hierdie wees egter") == "af"
+    assert detect_language("katika kwamba lakini pia sana wakati hivyo") == "sw"
+    assert detect_language("ang mga ito hindi naman lamang ngayon dahil") == "tl"
+    assert detect_language("mae wedi gyda ond hefyd iawn bod eich") == "cy"
+    assert detect_language("dhe nga kemi duke edhe pasi sipas kjo") == "sq"
+    assert detect_language("waxaa iyo inuu kale sida laga soo markaas") == "so"
+
+
+def test_lang_tier4_siblings_hold():
+    # the close siblings keep winning their own prose after tier 4
+    assert detect_language("hvad er det hvordan kan noget være meget") == "da"
+    assert detect_language("och att det som inte har ett hus") == "sv"
+    assert detect_language("jsou tady jsem bylo tento dům velmi") == "cs"
+    assert detect_language("koji koja koje kao samo nije kada zbog") == "hr"
+    assert detect_language("het huis van een man voor niet veel geld") == "nl"
+    assert detect_language("yang dan dengan untuk dari ini itu") == "id"
+    assert detect_language("kerana selepas ialah sahaja boleh awak") == "ms"
+
+
+def test_lang_tier4_script_sharing_splits():
+    # ur chains on fa (fa chains on ar): Urdu-only retroflex/ghunna/
+    # barree letters prove ur, then the chained boost outvotes both
+    assert detect_language("لڑکے نے ڈاکٹر کو ٹوکری میں روٹی دی ہے") == "ur"
+    # Persian and Arabic text contain no ur markers and keep their label
+    assert detect_language(
+        "این یک متن فارسی است که برای آزمایش نوشته شده") == "fa"
+    assert detect_language("هذا نص عربي قصير") == "ar"
+    # Devanagari splits: Marathi/Nepali function words absorb the hi
+    # char count; plain Hindi stays hi
+    assert detect_language("हे मराठी आहे आणि म्हणून त्यांनी झाले") == "mr"
+    assert detect_language("यो नेपाली हो र छन् भएको गर्न लागि गरेको") == "ne"
+    assert detect_language("यह हिंदी में एक पाठ है") == "hi"
+    # one incidental Marathi-pattern hit in Hindi text stays below the
+    # ≥2 boost threshold — the doc keeps its hi label
+    assert detect_language("उसने त्याग और धर्म की बात की") == "hi"
+
+
+def test_lang_tier4_counts():
+    """55-language parity: 32 Latin stopword profiles + 16 script
+    languages + 7 script-sharing splits (ja counted once)."""
+    from advanced_text_extraction_spark.kernels.lang import (
+        BOOSTS, SCRIPTS, STOPWORDS)
+    assert len(STOPWORDS) == 32
+    assert len(SCRIPTS) == 16
+    assert len(set(BOOSTS) - set(SCRIPTS)) == 7
+    assert len(set(STOPWORDS) | set(SCRIPTS) | set(BOOSTS)) == 55
+    # the ur chain reads fa's already-boosted score: insertion order
+    # must put fa before ur in every tier that folds BOOSTS
+    keys = list(BOOSTS)
+    assert keys.index("fa") < keys.index("ur")
+
+
 def test_lang_marker_sets_keep_sql_tier_contract():
     """SPEC §5 invariants every profile must hold so the codegen'd SQL
     tier and the DuckDB oracle can count the same hits: marker sets
