@@ -196,6 +196,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sessionize_batch"] = lambda s, d: W.sessionize_batch(
         _t(s, d, "events"), "user_id", "ts", "props",
         gap_ms=4 * 3600 * 1000, tiebreak_col="event_id")
+    # T18's tumbling-window reporting, batch tier (W6): epoch seconds
+    # instead of the window struct's timestamps so the hash gate is
+    # timezone-canonicalization-proof; the F.window boundary semantics
+    # are what's under test (streaming ≡ batch pinned in
+    # tests/test_streaming.py)
+    q["windowed_counts_batch"] = lambda s, d: W.windowed_counts_batch(
+        _t(s, d, "events"), "ts", "event_type", "value", 3600).select(
+        F.unix_timestamp("window_start").cast("long").alias("win_start_s"),
+        F.unix_timestamp("window_end").cast("long").alias("win_end_s"),
+        "event_type", "n_rows", "avg_val")
 
     # ---- F4–F6/F12 scalar functions over documents ----
     q["token_stats"] = lambda s, d: TS.token_stats(_t(s, d, "documents"), "doc_id", "text")
@@ -422,6 +432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (tests/test_driver_contract.py) still runs ALL entries.
 GATE_TAIL = (
     "ocr_summary",                # aggregate over gated ocr_roundtrip
+    "source_distribution",        # same A.distribution operator as gated
+                                  # lang_distribution (different column;
+                                  # demoted r5 to gate windowed_counts_batch)
     "lang_id_kernel",             # same oracle as gated lang_id_sql
     "line_dedup",                 # paragraph_dedup with sep="\n"
     "simhash_neardup_pairs_wide", # wider bands, same operator as gated pairs
@@ -960,6 +973,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(nc) AS BIGINT) AS n_chars,
                min(ts) AS first_ts, max(ts) AS last_ts
         FROM sx GROUP BY user_id, session_idx"""
+
+    # F.window's tumbling buckets are unix-epoch-aligned, so the oracle
+    # is an epoch-floor groupBy; avg is rounded 6dp on both sides
+    # (sum-order freedom), null ts dropped like the streaming watermark
+    o["windowed_counts_batch"] = """
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                   AS win_start_s,
+               CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT)
+                   AS win_end_s,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(avg(value), 6) AS avg_val
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2, 3"""
 
     o["token_stats"] = f"""
         SELECT doc_id, length(text) AS n_chars, {_WORDS_EXPR} AS n_words,

@@ -17,8 +17,9 @@ container without imaging libraries:
   encoder with Annex K tables for the fixture side; 4:4:4/4:2:2/4:2:0,
   restart markers)
 - TIFF 6.0 (baseline strips, both byte orders: Compression none/LZW/
-  PackBits, Predictor 2, 1-bit bilevel + 8-bit gray/RGB, WhiteIsZero;
-  tiled/fax/16-bit route to the real-codec hook)
+  PackBits/CCITT-G4-fax (T.6, kernels/fax_codec.py), Predictor 2, 1-bit
+  bilevel + 8-bit gray/RGB, WhiteIsZero; tiled/G3/16-bit route to the
+  real-codec hook)
 - raw gray buffers (width*height bytes — the shape of a FlateDecoded
   /DeviceGray PDF image XObject)
 - the repo's FIMG fake container (multimodal/media.py) for synth tables
@@ -1376,11 +1377,12 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
 # ---------------------------------------------------------------------------
 # The remaining real-world scan container after PNG/JPEG (r3 VERDICT
 # stretch #7). Scope: both byte orders, strip organization (any
-# RowsPerStrip), Compression 1 (none) / 5 (LZW, spec §13, early-change
-# code widths) / 32773 (PackBits, §9), Predictor 2 horizontal
-# differencing (§14), PhotometricInterpretation 0/1/2, 1-bit bilevel +
-# 8-bit gray + 8-bit RGB, PlanarConfiguration 1 (chunky). Tiled TIFF,
-# G3/G4 fax, and deeper bit depths route to the real-codec hook.
+# RowsPerStrip), Compression 1 (none) / 4 (CCITT G4 fax, T.6 — see
+# kernels/fax_codec.py) / 5 (LZW, spec §13, early-change code widths) /
+# 32773 (PackBits, §9), Predictor 2 horizontal differencing (§14),
+# PhotometricInterpretation 0/1/2, 1-bit bilevel + 8-bit gray + 8-bit
+# RGB, PlanarConfiguration 1 (chunky). Tiled TIFF, G3 (T.4) fax, and
+# deeper bit depths route to the real-codec hook.
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RAT
 
@@ -1588,8 +1590,9 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     tags = _tiff_ifd(buf, order, struct.unpack(order + "I", buf[4:8])[0])
 
     def one(tag: int, default=None) -> int:
+        # a corrupt entry with count=0 parses to [] — same as absent
         v = tags.get(tag)
-        if v is None:
+        if not v:
             if default is None:
                 raise ImageError(f"TIFF missing required tag {tag}")
             return default
@@ -1606,10 +1609,13 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     pred = one(317, 1)
     if one(284, 1) != 1:
         return _decode_real(buf)  # planar: not a baseline scan shape
-    if comp not in (1, 5, 32773) or photo not in (0, 1, 2) \
+    if comp not in (1, 4, 5, 32773) or photo not in (0, 1, 2) \
             or (322 in tags) or set(bits) not in ({1}, {8}) \
-            or spp not in (1, 3) or (spp == 3 and bits != [8, 8, 8]):
-        return _decode_real(buf)  # tiled / fax / 16-bit / palette etc.
+            or spp not in (1, 3) or (spp == 3 and bits != [8, 8, 8]) \
+            or (comp == 4 and (bits != [1] or spp != 1
+                               or one(266, 1) != 1)):
+        # tiled / G3 fax / 16-bit / palette / LSB-fill G4 etc.
+        return _decode_real(buf)
     if pred == 2 and bits != [8] * spp:
         raise ImageError("TIFF predictor 2 requires 8-bit samples")
 
@@ -1631,7 +1637,12 @@ def decode_tiff(buf: bytes) -> np.ndarray:
         if nrows <= 0:
             break
         raw = bytes(buf[off:off + cnt])
-        if comp == 5:
+        if comp == 4:
+            # T.6 resets its reference line per strip; output is the
+            # same MSB-packed bilevel shape as an uncompressed strip
+            from .fax_codec import g4_decode
+            raw = g4_decode(raw, width, nrows)
+        elif comp == 5:
             raw = _lzw_decode(raw)
         elif comp == 32773:
             raw = _packbits_decode(raw)
@@ -1665,14 +1676,17 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
                 rows_per_strip: int | None = None) -> bytes:
     """TIFF 6.0 writer for the fixture/round-trip side: 8-bit gray
     ``(h, w)`` or RGB ``(h, w, 3)``, chunky, strip-based.
-    ``compression``: none | lzw | packbits; ``predictor=2`` (lzw only)
-    exercises §14 horizontal differencing; both byte orders."""
+    ``compression``: none | lzw | packbits | g4 (bilevel fax — light
+    pixels become T.6 white runs, photometric 0); ``predictor=2`` (lzw
+    only) exercises §14 horizontal differencing; both byte orders."""
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
         raise ImageError("encode_tiff wants uint8 (h,w) or (h,w,3)")
-    if compression not in ("none", "lzw", "packbits"):
+    if compression not in ("none", "lzw", "packbits", "g4"):
         raise ImageError(f"unsupported compression {compression!r}")
     if predictor not in (1, 2) or (predictor == 2 and compression != "lzw"):
         raise ImageError("predictor 2 is defined here for lzw only")
+    if compression == "g4" and arr.ndim != 2:
+        raise ImageError("g4 is bilevel: encode_tiff wants (h, w)")
     h, w = arr.shape[:2]
     spp = 1 if arr.ndim == 2 else arr.shape[2]
     rps = h if rows_per_strip is None else max(1, rows_per_strip)
@@ -1686,7 +1700,12 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
             a[:, 1:] -= a[:, :-1].copy()
             rows = (a & 0xFF).astype(np.uint8).reshape(rows.shape)
         raw = rows.tobytes()
-        if compression == "lzw":
+        if compression == "g4":
+            # fax convention: photometric 0 (WhiteIsZero) — light pixels
+            # (>= 128) are the T.6 white runs, dark pixels the ink
+            from .fax_codec import g4_encode
+            strips.append(g4_encode(rows < 128))
+        elif compression == "lzw":
             strips.append(_lzw_encode(raw))
         elif compression == "packbits":
             strips.append(b"".join(_packbits_encode_row(bytes(r))
@@ -1694,7 +1713,7 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
         else:
             strips.append(raw)
 
-    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773, "g4": 4}[compression]
     out = bytearray(struct.pack(
         byteorder + "2sHI", b"II" if byteorder == "<" else b"MM", 42, 0))
     strip_offs = []
@@ -1716,10 +1735,11 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
         extra += packed
         return struct.pack(byteorder + "HHII", tag, typ, len(vals), ptr)
 
+    g4 = compression == "g4"
     fields: list[tuple[int, int, list[int]]] = [
         (256, 4, [w]), (257, 4, [h]),
-        (258, 3, [8] * spp), (259, 3, [comp_id]),
-        (262, 3, [2 if spp == 3 else 1]),
+        (258, 3, [1] if g4 else [8] * spp), (259, 3, [comp_id]),
+        (262, 3, [0] if g4 else [2 if spp == 3 else 1]),
         (273, 4, strip_offs), (277, 3, [spp]), (278, 4, [rps]),
         (279, 4, [len(s) for s in strips]),
     ]

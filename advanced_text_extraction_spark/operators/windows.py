@@ -80,6 +80,37 @@ def sessionize_batch(df: DataFrame, conv_col: str = "conv_id",
     )
 
 
+def windowed_counts_batch(df: DataFrame, ts_col: str = "ts",
+                          key_col: str = "content_type",
+                          val_col: str = "confidence",
+                          window_sec: int = 300) -> DataFrame:
+    """W6 — tumbling event-time window counts, batch tier: the
+    bounded-input twin of ``streaming.extract_stream.
+    windowed_turn_counts`` (T18). Same aggregation contract — one row
+    per (epoch-aligned window, key) with the row count and the mean of
+    ``val_col`` — via the SAME ``F.window`` tumbling semantics the
+    streaming query uses, so the window-boundary behavior itself holds a
+    hard driver-oracle row (``tests/test_streaming.py`` pins
+    batch ≡ streaming on a shared extracted fixture). Rows with a null
+    ``ts`` carry no event time and are dropped, exactly as the streaming
+    watermark drops them.
+
+    Scale shape: ONE partial-agg-friendly exchange on (window, key) —
+    the window struct is computed map-side, hot windows pre-aggregate
+    before the shuffle. The mean is rounded to 6dp so the DuckDB oracle
+    (same rounding) hashes identically despite sum-order freedom."""
+    w = F.window(F.col(ts_col), f"{window_sec} seconds")
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(w.alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.round(F.avg(val_col), 6).alias("avg_val"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                key_col, "n_rows", "avg_val")
+    )
+
+
 def latest_per_key(df: DataFrame, key: str, order_col: str) -> DataFrame:
     """W1 — newest row per key (reference cache probe ORDER BY timestamp
     DESC LIMIT 1, /root/reference/text_extractor.py:1049-1054)."""

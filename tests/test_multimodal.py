@@ -126,8 +126,9 @@ def test_image_stats_sniff_codec_over_jpeg_and_png(spark):
 def test_image_stats_sniff_codec_over_tiff(spark):
     """TIFF payloads (r3 VERDICT stretch #7: the remaining real-scan
     container) flow through the same Spark plumbing — lossless, so the
-    stats must match the source array exactly; the LZW+predictor and
-    PackBits variants exercise both §13 and §9 decode paths in-plan."""
+    stats must match the source array exactly; the LZW+predictor,
+    PackBits, and G4-fax variants exercise the §13, §9, and T.6 decode
+    paths in-plan."""
     import pandas as pd
 
     from advanced_text_extraction_spark.kernels.image_codec import (
@@ -140,18 +141,21 @@ def test_image_stats_sniff_codec_over_tiff(spark):
         1: rng.integers(0, 256, (19, 27, 3), dtype=np.uint8),
         2: ((np.arange(20 * 28) * 13) % 251).astype(np.uint8)
         .reshape(20, 28),
+        # bilevel scan shape → G4 fax compression (r4 stretch #7)
+        3: (rng.random((22, 45)) < 0.35).astype(np.uint8) * 255,
     }
     payloads = {
         0: encode_tiff(imgs[0], compression="lzw", predictor=2,
                        rows_per_strip=6),
         1: encode_tiff(imgs[1], compression="packbits", byteorder=">"),
         2: encode_tiff(imgs[2]),
+        3: encode_tiff(imgs[3], compression="g4", byteorder=">"),
     }
     df = spark.createDataFrame(
         pd.DataFrame({"media_id": list(payloads),
-                      "kind": ["image"] * 3,
+                      "kind": ["image"] * len(payloads),
                       "payload": list(payloads.values()),
-                      "meta": [{}] * 3}),
+                      "meta": [{}] * len(payloads)}),
         schema=M.MEDIA_SCHEMA)
     out = {r["media_id"]: r
            for r in M.image_stats(df, codec="sniff").collect()}

@@ -68,6 +68,39 @@ def test_windowed_counts_watermark(spark, stream_dirs):
     assert got["n_turns"].sum() == n_input
 
 
+def test_windowed_counts_batch_equals_streaming(spark, stream_dirs,
+                                                transcripts_path):
+    """The batch tier (operators.windows.windowed_counts_batch — the
+    driver-gated surface) must reproduce the streaming complete-mode
+    windowed counts exactly: same F.window tumbling buckets, same
+    per-(window, content_type) totals and means."""
+    import uuid
+
+    from advanced_text_extraction_spark.operators import windows as W
+
+    inp, _, _ = stream_dirs
+    name = f"wb_{uuid.uuid4().hex[:8]}"
+    q = ST.start_windowed_counts(spark, inp, f"/tmp/{name}_ckpt", name,
+                                 window="10 minutes", watermark="1 hour",
+                                 output_mode="complete")
+    q.awaitTermination(120)
+    streamed = spark.sql(f"SELECT * FROM {name}").toPandas()
+
+    batch = W.windowed_counts_batch(
+        extract(spark.read.parquet(transcripts_path)),
+        "ts", "content_type", "confidence", window_sec=600
+    ).toPandas().rename(columns={"n_rows": "n_turns",
+                                 "avg_val": "avg_confidence"})
+
+    key = ["window_start", "content_type"]
+    a = streamed.sort_values(key).reset_index(drop=True)
+    b = batch[a.columns].sort_values(key).reset_index(drop=True)
+    # the batch tier rounds the mean to 6dp for oracle parity; round the
+    # streaming side the same way before comparing
+    a["avg_confidence"] = a["avg_confidence"].round(6)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_windowed_counts_append_holds_open_windows(spark, stream_dirs):
     """Append mode must NOT emit windows the watermark hasn't passed —
     emitted turns are a strict subset of the input."""
