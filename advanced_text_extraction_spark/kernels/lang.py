@@ -137,8 +137,12 @@ STOPWORDS: dict[str, frozenset[str]] = {
         "ning kuid ainult samuti veel selle nagu aga seda "
         "olema".split()
     ),
+    # lv note: markers must also not be PREFIXES of common same-language
+    # words whose continuation is a non-ASCII letter ("vēl" → "vēlāk"):
+    # ASCII-\b fires at that letter, so the SQL tier would count a hit
+    # the kernel's letters-tokenizer does not (r5 review finding)
     "lv": frozenset(
-        "kas bija tikai savu bet tomēr vēl tiek gada lai".split()
+        "kas bija tikai savu bet tomēr tika tiek gada lai".split()
     ),
     "lt": frozenset(
         "yra kad kaip taip savo buvo gali labai apie kurie".split()

@@ -85,11 +85,16 @@ def lang_id_sql(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tie-break) — the codegen'd COUNTERPART of kernels/lang.py for corpora
     where per-row Python is not worth it. NOT a bit-exact twin of the
     kernel: this tier counts ``\\b``-bounded stopword hits, and ``\\b``
-    is ASCII-word-based in both Java regex and RE2, so a stopword butted
-    against digits/underscores ('was3the3') or bounded by an accented
-    letter contributes no hit here but does in the kernel's letters-only
-    tokenizer. The divergence only shows on id/log-like text; prose
-    labels identically. (Aligning them would need lookbehind — which
+    is ASCII-word-based in both Java regex and RE2, so it can diverge in
+    BOTH directions: a stopword butted against digits/underscores
+    ('was3the3') contributes no hit here but does in the kernel's
+    letters-only tokenizer (undercount), and a marker that is a PREFIX
+    of a word continued by an accented letter ('vēl' inside 'vēlāk')
+    would count here but not in the kernel (overcount) — which is why
+    the marker-choice policy (kernels/lang.py lv note) forbids markers
+    that prefix common same-language words with non-ASCII
+    continuations. On prose made of whole marker words the tiers label
+    identically. (Aligning them fully would need lookbehind — which
     RE2/DuckDB lacks — or an alternation that undercounts adjacent
     stopwords; the honest trade is documented instead.)"""
     c = F.coalesce(F.col(text_col), F.lit(""))

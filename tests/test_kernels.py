@@ -101,7 +101,7 @@ def test_lang_tier4_latin_breadth():
     # filler — the sibling's own markers must still dominate its text
     assert detect_language("hva skjer etter at dere har vært der") == "no"
     assert detect_language("see on ning kuid samuti ainult selle nagu") == "et"
-    assert detect_language("kas bija tikai savu bet tomēr vēl tiek") == "lv"
+    assert detect_language("kas bija tikai savu bet tomēr tika tiek") == "lv"
     assert detect_language("yra kad kaip taip savo buvo labai apie") == "lt"
     assert detect_language("ako iba bolo alebo medzi veľmi aj ešte") == "sk"
     assert detect_language("tudi lahko ker vendar zelo kot tega morda") == "sl"

@@ -672,3 +672,34 @@ def test_extract_one_max_chars_and_ocr_threshold_rejection():
     assert row["status"] == "ok"
     assert "tiny" in row["extracted_text"]
     assert "below threshold" in row["metadata"]["ocr_error"]
+
+
+def test_lang_markers_no_accent_continuation_overcount():
+    """r5 review finding: a marker that PREFIXES a common word continued
+    by a non-ASCII letter ('vēl' inside 'vēlāk') makes the \\b-based SQL
+    tier count a hit the kernel's letters-tokenizer never sees — an
+    overcount-direction tier divergence on ordinary prose. 'vēl' was
+    replaced by 'tika'; pin both the concrete repro and the structural
+    property for every marker against the \\b semantics."""
+    import re
+
+    from advanced_text_extraction_spark.kernels.lang import (
+        STOPWORDS, detect_language)
+
+    # the repro text: kernel says unknown, and the \b-alternation must
+    # agree (no lv marker may match inside 'vēlāk' any more)
+    text = "vēlāk vēlāk"
+    assert detect_language(text) == "unknown"
+    for lang, words in STOPWORDS.items():
+        pat = r"\b(" + "|".join(sorted(words)) + r")\b"
+        assert len(re.findall(pat, text)) == 0, lang
+    # structural: a marker containing no accents can't trigger the
+    # hazard (ASCII continuations carry no inner \b); markers WITH
+    # accents must not be proper prefixes of each other either
+    for lang, words in STOPWORDS.items():
+        for a in words:
+            for b in words:
+                if a != b and b.startswith(a):
+                    # prefix pairs are fine only when the continuation
+                    # starts with an ASCII letter (no \b fires there)
+                    assert b[len(a)].isascii(), (lang, a, b)
