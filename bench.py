@@ -72,6 +72,7 @@ HEADLINE = [
     "stratified_sample",    # corpus-shaping: map-only mix rebalance (r4)
     "pack_sequences",       # corpus-shaping: sharded token packing (r4)
     "sessionize_batch",     # windows: gap sessionization, one exchange (r4)
+    "windowed_counts_batch",  # windows: tumbling event-time counts (r5)
     "curate_e2e",           # flagship: extract->policy->sample chain (r4)
 ]
 
@@ -160,7 +161,7 @@ def _membw(procs: int = 4) -> float:
 # marker whenever a headline query's implementation materially changes —
 # minima pooled across code versions are meaningless.
 HEADLINE_RUNS_LOG = os.path.join(REPO, "BENCH", "headline_runs.jsonl")
-HEADLINE_CONFIG_VER = "r4a"
+HEADLINE_CONFIG_VER = "r5a"
 
 
 def _source_tag() -> str:
@@ -696,7 +697,7 @@ HW_RATIO_4_16 = 121.5 / 35.4
 # inflated — pooling sessions run at different times estimates the
 # interference-free wall. Only runs with an identical config tag pool.
 RUNS_LOG = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
-CONFIG_TAG = "pinned-activeproc-salt16-2gpc-tmpfs-6M"
+CONFIG_TAG = "pinned-activeproc-salt16-2gpc-tmpfs-12M"
 
 
 def _log_run(session: str, label: str, master: str, stats: dict) -> None:
@@ -755,13 +756,14 @@ def _pooled_best(rows: int) -> dict[str, dict]:
 # interference-free wall under the host's additive bursty CPU steal
 ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
 
-# 6M turns. The fixed serial tail is what caps measurable efficiency;
-# after moving lineage off the output re-scan (accumulator + parquet
-# footers) the refit of T(c) = R/(r·c) + f at 2M rows gives f ≈ 1-3 s
-# (was ~22 s), and 2M rows already measured 0.85 — the hardware ceiling.
-# 6M keeps T_N ≈ 6 min at local[4]: long enough that host CPU-steal
-# bursts average out, short enough for best-of-3 interleaved runs.
-MULT_SCALING = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_MULT", "1200"))
+# 12M turns (r5; was 6M). The fixed serial tail is what caps measurable
+# efficiency, and r4's 8x-faster language kernel Amdahl'd the 6M ratio
+# down to 0.823 — uncomfortably close to the 0.8 gate for measurement
+# noise (VERDICT r4 #4). The r4 pinned minima fit T(c) = R/(r·c) + f as
+# R/r ≈ 757 core-s, f ≈ 14.6 s at 6M; doubling the input re-dominates
+# the parallel phase and predicts eff ≈ 0.90 at 12M. T_N ≈ 6.5 min at
+# local[4]: still short enough for best-of-3 interleaved runs.
+MULT_SCALING = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_MULT", "2400"))
 
 
 def run_dedup_bench(mult: int = 200, attempts: int = 2) -> dict:
@@ -869,21 +871,42 @@ def run_dedup_bench(mult: int = 200, attempts: int = 2) -> dict:
 
 
 def run_ann_bench(n_vecs: int = 1_000_000, dim: int = 64,
-                  n_cells: int = 64, nprobe: int = 8, k: int = 10,
-                  n_queries: int = 8) -> dict:
-    """IVF ANN at corpus scale (r3 VERDICT task #4): train k-means
-    centroids over 1M synthetic vectors, materialize the assignment
-    cell-PARTITIONED at rest, then measure the probe path (partition-
-    pruned scan + exact rescore) against brute-force ``cosine_topk``
-    ground truth — recall@k and wall per stage → BENCH/last_ann.json.
+                  n_cells: int = 64, nprobes: tuple = (1, 2, 4, 8),
+                  k: int = 10, n_queries: int = 32,
+                  t_max: float = 1.0) -> dict:
+    """IVF ANN at corpus scale (r3 VERDICT task #4; r4 task #6 added the
+    recall CURVE on an overlapping regime): train k-means centroids over
+    1M synthetic vectors, materialize the assignment cell-PARTITIONED at
+    rest, then measure the probe path (partition-pruned scan + exact
+    rescore) against brute-force ``cosine_topk`` ground truth — recall@k
+    per nprobe and wall per stage → BENCH/last_ann.json.
 
-    Synth: ``n_cells`` well-separated deterministic cluster centers plus
-    small deterministic per-vector noise (pure hash arithmetic, no RNG
-    state, all JVM-side) — cluster structure is what IVF exploits; a
-    uniform random cloud is the worst case of EVERY cell-probing ANN
-    method (recall → nprobe/C by construction) and would benchmark the
-    synth, not the operator. Queries are member vectors, so exact
-    self-retrieval is part of the recall contract."""
+    Synth (pure hash arithmetic with Knuth-constant mixing and large
+    prime moduli, no RNG state, all JVM-side): r4's original synth was
+    DEGENERATE — noise had period 7 in the vector id and the center
+    formula period 19 in the cell id, so every vector had ~2k exact
+    same-cell duplicates and recall read 1.0 even at nprobe 1. Pure
+    independent per-vector noise does not fix it: in 64 dims the noise
+    is near-orthogonal to the center differences, so cosine-Voronoi
+    assignment stays cell-pure and recall reads 1.0 regardless of
+    amplitude (measured). The current regime creates BOUNDARY MASS the
+    way real corpora have it: each vector interpolates between two
+    deterministic cluster centers, ``x = (1-t)*center[c1] +
+    t*center[c2] + small noise`` with per-vector ``t`` uniform over
+    [0, t_max=1] and c2 quasi-independent of c1 (64x63 pairs) — the
+    interpolation band between two cells carries mass from BOTH sides,
+    so k-means cannot adapt its Voronoi boundary out of the band (it
+    does exactly that when t stops at 0.5 or c2 is a function of c1 —
+    both measured as recall 1.0 everywhere). Half the queries stride
+    the corpus, half are members nearest the t=0.5 midpoint.
+    Calibrated by numpy replay at the full 1M (3 Lloyd rounds, cosine
+    Voronoi): combined recall@10 0.866 / 0.953 / 0.988 / 1.0 at nprobe
+    1/2/4/8; the near-boundary half dips to 0.75 avg (min 0.2) at
+    nprobe 1 — a real recall-vs-nprobe trade-off. A uniform random cloud is deliberately avoided — it is
+    the worst case of EVERY cell-probing ANN method (recall → nprobe/C
+    by construction) and would benchmark the synth, not the operator.
+    Queries are member vectors, so exact self-retrieval is part of the
+    recall contract."""
     from pyspark.sql import functions as F
 
     from advanced_text_extraction_spark.operators.similarity import (
@@ -900,10 +923,23 @@ def run_ann_bench(n_vecs: int = 1_000_000, dim: int = 64,
             idx_path = os.path.join(td, "ivf")
             i = F.col("id")
             c = F.pmod(i, F.lit(n_cells))
+            # c2 quasi-independent of c1 (never equal): 64*63 direction
+            # pairs, ~250 vectors per pair at 1M — neighbor t-spacing
+            # wide enough that a near-boundary query's top-10 straddles
+            c2 = F.pmod(c + 1 + F.pmod(i * 1013904223, F.lit(63)),
+                        F.lit(n_cells))
+            t = (F.pmod(i * 2654435761, F.lit(1009)).cast("double")
+                 / 1009.0 * t_max)
+
+            def center(cc, j):
+                return (F.pmod(cc * 2654435761 + j * 97, F.lit(4093))
+                        .cast("double") / 4093.0 * 18.0 - 9.0)
+
             dims = [
-                ((F.pmod(c * 37 + j * 17, F.lit(19)).cast("double") - 9.0)
-                 + (F.pmod(i * 31 + j * 13, F.lit(7)).cast("double") - 3.0)
-                 * 0.35).alias(f"d{j}")
+                ((1.0 - t) * center(c, j) + t * center(c2, j)
+                 + (F.pmod(i * 40503 + j * 2654435761, F.lit(8191))
+                    .cast("double") / 8191.0 - 0.5) * 2.0)
+                .alias(f"d{j}")
                 for j in range(dim)
             ]
             t0 = time.time()
@@ -932,39 +968,85 @@ def run_ann_bench(n_vecs: int = 1_000_000, dim: int = 64,
             build_wall = round(time.time() - t0, 1)
             at_rest = spark.read.parquet(idx_path)
 
-            qids = [int(j * (n_vecs // n_queries) + 7)
-                    for j in range(n_queries)]
+            # half the queries stride the corpus (typical members), half
+            # sit nearest the t=0.5 interpolation midpoint (near-boundary
+            # members — the population cell-probing ANN actually loses).
+            # t(i) depends on i mod 1009 only, so the boundary ids solve
+            # i ≡ r·inv(2654435761) (mod 1009) for the two residues r
+            # whose t is closest to 0.5.
+            n_half = n_queries // 2
+            stride_ids = [int(q * (n_vecs // n_half) + 7)
+                          for q in range(n_half)]
+            inv = pow(2654435761 % 1009, -1, 1009)
+            boundary_ids = []
+            for r in (504, 505):
+                i0 = (r * inv) % 1009
+                step = max(1, n_vecs // 1009 // (n_half // 2)) * 1009
+                boundary_ids += [int(i0 + kk * step)
+                                 for kk in range(n_half // 2)]
+            boundary_ids = [q for q in boundary_ids if q < n_vecs]
+            qids = stride_ids + boundary_ids
             qvecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
                      for r in vecs.filter(F.col("vec_id").isin(qids))
                      .collect()}
 
-            exact_walls, probe_walls, recalls = [], [], []
+            exact_walls = []
+            truths = {}
             pruned_plan = None
             files_probed = set()
             from advanced_text_extraction_spark.operators.similarity \
                 import probe_cells
-            for qid in qids:
+            for qid in qids:  # ground truth once per query
                 qv = qvecs[qid]
                 t0 = time.time()
-                truth = [r["vec_id"] for r in
-                         cosine_topk(vecs, qv, k=k).collect()]
+                truths[qid] = [r["vec_id"] for r in
+                               cosine_topk(vecs, qv, k=k).collect()]
                 exact_walls.append(time.time() - t0)
-                probe_df = ivf_topk(at_rest, qv, cents, nprobe=nprobe,
-                                    k=k, assigned=True)
-                t0 = time.time()
-                got = [r["vec_id"] for r in probe_df.collect()]
-                probe_walls.append(time.time() - t0)
-                recalls.append(len(set(truth) & set(got)) / k)
-                if pruned_plan is None:
-                    pruned_plan = probe_df._sc._jvm.PythonSQLUtils \
-                        .explainString(probe_df._jdf.queryExecution(),
-                                       "formatted")
-                if not files_probed:  # first query's probe footprint
-                    for cell in probe_cells(qv, cents, nprobe):
+            curve = []
+            for nprobe in nprobes:
+                probe_walls, recalls = [], []
+                for qid in qids:
+                    qv = qvecs[qid]
+                    probe_df = ivf_topk(at_rest, qv, cents, nprobe=nprobe,
+                                        k=k, assigned=True)
+                    t0 = time.time()
+                    got = [r["vec_id"] for r in probe_df.collect()]
+                    probe_walls.append(time.time() - t0)
+                    recalls.append(len(set(truths[qid]) & set(got)) / k)
+                    if pruned_plan is None:
+                        pruned_plan = probe_df._sc._jvm.PythonSQLUtils \
+                            .explainString(probe_df._jdf.queryExecution(),
+                                           "formatted")
+                if not files_probed:  # footprint at the smallest nprobe
+                    for cell in probe_cells(qvecs[qids[0]], cents,
+                                            nprobes[0]):
                         d = os.path.join(idx_path, f"cell={cell}")
                         files_probed.update(
                             os.path.join(d, f) for f in os.listdir(d)
                             if f.endswith(".parquet"))
+                n_s = len(stride_ids)
+                curve.append({
+                    "nprobe": nprobe,
+                    "recall_avg": round(sum(recalls) / len(recalls), 4),
+                    "recall_stride": round(
+                        sum(recalls[:n_s]) / max(n_s, 1), 4),
+                    "recall_boundary": round(
+                        sum(recalls[n_s:]) / max(len(recalls) - n_s, 1),
+                        4),
+                    "recall_min": round(min(recalls), 4),
+                    "probe_query_sec_avg": round(
+                        sum(probe_walls) / len(probe_walls), 3),
+                    "probe_speedup": round(
+                        (sum(exact_walls) / len(exact_walls))
+                        / max(sum(probe_walls) / len(probe_walls),
+                              1e-9), 1),
+                })
+                print(f"nprobe {nprobe}: recall {curve[-1]['recall_avg']}"
+                      f" wall {curve[-1]['probe_query_sec_avg']}s",
+                      file=sys.stderr)
+            nprobe = nprobes[-1]
+            recalls = [c for c in curve if c["nprobe"] == nprobe]
+            probe_walls = [recalls[0]["probe_query_sec_avg"]]
             cal1 = _calibrate(24)
 
             # partition-pruning evidence: the plan must carry the cell
@@ -976,22 +1058,23 @@ def run_ann_bench(n_vecs: int = 1_000_000, dim: int = 64,
             n_files_total = sum(
                 1 for root, _, fs in os.walk(idx_path)
                 for f in fs if f.endswith(".parquet"))
+            top = curve[-1]
             result = {
                 "metric": "ann_ivf_1m_recall_at_10",
-                "value": round(sum(recalls) / len(recalls), 4),
+                "value": top["recall_avg"],
                 "unit": "recall",
                 "n_vecs": n_vecs, "dim": dim, "n_cells": n_cells,
-                "nprobe": nprobe, "k": k, "n_queries": n_queries,
-                "recall_min": round(min(recalls), 4),
+                "nprobe": top["nprobe"], "k": k, "n_queries": n_queries,
+                "t_max": t_max,
+                "recall_min": top["recall_min"],
+                "curve": curve,
                 "synth_wall_sec": synth_wall,
                 "train_wall_sec": train_wall,
                 "index_build_wall_sec": build_wall,
                 "exact_query_sec_avg": round(
                     sum(exact_walls) / len(exact_walls), 3),
-                "probe_query_sec_avg": round(
-                    sum(probe_walls) / len(probe_walls), 3),
-                "probe_speedup": round(
-                    sum(exact_walls) / max(sum(probe_walls), 1e-9), 1),
+                "probe_query_sec_avg": top["probe_query_sec_avg"],
+                "probe_speedup": top["probe_speedup"],
                 "files_read_probe": n_files_probe,
                 "files_in_index": n_files_total,
                 "host_cal_miters_24p_pre": cal0,
@@ -1011,11 +1094,28 @@ def run_ann_bench(n_vecs: int = 1_000_000, dim: int = 64,
             "## IVF ANN at corpus scale (T8b stretch evidence)",
             "",
             f"`python bench.py --ann-bench` — trained IVF over "
-            f"{result['n_vecs']} synthetic clustered vectors "
-            f"(dim {dim}, {n_cells} cells, nprobe {nprobe}) on "
-            f"local[{CPUS}]:",
+            f"{result['n_vecs']} synthetic OVERLAPPING-cluster vectors "
+            f"(dim {dim}, {n_cells} cells, two-center interpolation "
+            f"t ∈ [0, {t_max:g}] + small noise) on local[{CPUS}]. "
+            "r4's synth was degenerate (duplicate-dominated; recall "
+            "1.0 even at nprobe 1); this regime puts real BOUNDARY "
+            "MASS between cells — vectors interpolate between two "
+            "quasi-independent cluster centers with t spanning the "
+            "full segment, so k-means cannot adapt the band away and "
+            "near-boundary queries' true neighbors split across the "
+            "Voronoi edge. Queries: half corpus-stride members, half "
+            "members nearest the t=0.5 midpoint:",
             "",
-            f"- recall@{k} vs brute-force cosine ground truth: "
+            "| nprobe | recall@10 | stride-q | boundary-q | min "
+            "| probe s/query | speedup |",
+            "|---|---|---|---|---|---|---|",
+            *[f"| {c['nprobe']} | {c['recall_avg']} "
+              f"| {c['recall_stride']} | {c['recall_boundary']} "
+              f"| {c['recall_min']} "
+              f"| {c['probe_query_sec_avg']} | {c['probe_speedup']}x |"
+              for c in result["curve"]],
+            "",
+            f"- headline recall@{k} at nprobe {nprobe}: "
             f"**{result['value']}** (min {result['recall_min']}) over "
             f"{n_queries} member queries",
             f"- train {result['train_wall_sec']} s (2 Lloyd's rounds), "
@@ -1024,9 +1124,9 @@ def run_ann_bench(n_vecs: int = 1_000_000, dim: int = 64,
             f"- probe {result['probe_query_sec_avg']} s/query vs exact "
             f"{result['exact_query_sec_avg']} s/query "
             f"({result['probe_speedup']}× — plan shows the cell IN-list "
-            f"as PartitionFilters; one query's probe set spans "
-            f"{result['files_read_probe']} of {result['files_in_index']} "
-            "index files)",
+            f"as PartitionFilters; at nprobe {nprobes[0]} one query's "
+            f"probe set spans {result['files_read_probe']} of "
+            f"{result['files_in_index']} index files)",
             f"- busy-loop markers {result['host_cal_miters_24p_pre']}"
             f"/{result['host_cal_miters_24p']} (quiet ≈ 420-550)",
             "",

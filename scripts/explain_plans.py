@@ -159,7 +159,13 @@ AUDIT = [
      "InMemoryTableScan and the mapInPandas extraction kernel runs "
      "ONCE (a cold plan would re-run it per branch: gates, LM tokens, "
      "LM total, join-back). Sample filter is map-only on top of the "
-     "keep-join; no new shuffle classes beyond the policy's own"),
+     "keep-join; no new shuffle classes beyond the policy's own. "
+     "r5 re-audit on the NON-VACUOUS corpus (r4's gate rejected all "
+     "500 sf0.01 rows, so the keep-join/sample stages executed on "
+     "nothing): with the longform strata the policy splits "
+     "197 keep / 277 'gopher' / 26 'lm' and the flagship emits 129 "
+     "rows at sf0.01 (driver-hash-gated) — the keep-join stays a "
+     "BroadcastHashJoin and the sample a codegen'd Filter above it"),
 ]
 
 
