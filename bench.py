@@ -682,6 +682,14 @@ def write_bench_md(scaling: dict) -> None:
     if os.path.exists(skew_path):
         with open(skew_path) as f:
             lines += _skew_md(json.load(f))
+    # carry the ANN section over: --ann-bench appends it after this
+    # file's content, and a later --scaling/--rescore regen must not
+    # silently drop that evidence
+    if os.path.exists(p):
+        head = open(p).read()
+        cut = head.find("## IVF ANN at corpus scale")
+        if cut != -1:
+            lines += [head[cut:].rstrip(), ""]
     with open(p, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {p}", file=sys.stderr)
