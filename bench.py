@@ -566,6 +566,75 @@ def run_burst(label: str, master: str, n_cpus: int, count: int) -> None:
             _log_run(session, label, master, stats)
 
 
+def _secondary_pools_md(scaling: dict | None = None) -> list[str]:
+    """Evidence blocks for every pool config OTHER than the current
+    CONFIG_TAG — the same pooled-minimum estimator at a different input
+    size (or job revision) stays visible and reproducible instead of
+    being silently superseded by a tag flip."""
+    from collections import Counter, defaultdict
+    if not os.path.exists(RUNS_LOG):
+        return []
+    by_tag: dict[str, list[dict]] = defaultdict(list)
+    with open(RUNS_LOG) as f:
+        for line in f:
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if r.get("config") and r["config"] != CONFIG_TAG:
+                by_tag[r["config"]].append(r)
+    lines: list[str] = []
+    for tag, rs in sorted(by_tag.items()):
+        rows_mode = Counter(r.get("rows") for r in rs).most_common(1)[0][0]
+        rs = [r for r in rs if r.get("rows") == rows_mode]
+        best: dict[str, dict] = {}
+        for r in rs:
+            lb = r["label"]
+            if lb not in best or r["wall_sec"] < best[lb]["wall_sec"]:
+                best[lb] = r
+        if "N" not in best or "4N" not in best:
+            continue
+        eff = round((best["4N"]["turns_per_sec"]
+                     / best["N"]["turns_per_sec"]) / 4, 3)
+        if not lines:
+            lines += [
+                "## Secondary input-size evidence (same estimator, "
+                "other pool configs)",
+                "",
+                "Pooled per-level minima for every other config tag in",
+                "`BENCH/scaling_runs.jsonl` — the same job measured at a",
+                "different input size or revision; kept visible so a tag",
+                "change never hides a previously published number:",
+                "",
+            ]
+        lines += [
+            f"- `{tag}` ({rows_mode} turns, {len(rs)} runs): "
+            f"N {best['N']['wall_sec']} s "
+            f"({best['N']['turns_per_sec']} turns/s), "
+            f"4N {best['4N']['wall_sec']} s "
+            f"({best['4N']['turns_per_sec']} turns/s) → "
+            f"efficiency **{eff}** "
+            f"(hw-ceiling-normalized {round(eff / (HW_RATIO_4_16 / 4), 3)})",
+        ]
+        if scaling and scaling.get("rows") and rows_mode != scaling["rows"]:
+            # computed, not narrated: how each level's per-turn
+            # throughput moved between the two input sizes
+            dn = round(scaling["N"]["turns_per_sec"]
+                       / best["N"]["turns_per_sec"], 3)
+            d4 = round(scaling["4N"]["turns_per_sec"]
+                       / best["4N"]["turns_per_sec"], 3)
+            lines += [
+                f"  - vs the binding pool ({scaling['rows']} turns): "
+                f"per-turn throughput ratio N ×{dn}, 4N ×{d4} — when both "
+                f"exceed 1.0 at the larger input, a LOWER ratio there "
+                f"means the low-parallelism level amortized fixed work "
+                f"better, not that the high level degraded",
+            ]
+    if lines:
+        lines.append("")
+    return lines
+
+
 def write_bench_md(scaling: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     p = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -668,6 +737,7 @@ def write_bench_md(scaling: dict) -> None:
         "here, so the measured ratio under-states, not over-states, the",
         "N→4N-executor case.",
         "",
+        *_secondary_pools_md(scaling),
         "## Headline mode: pooled minima + two interference probes",
         "",
         "`python bench.py` (headline mode) REPORTS pooled per-query",
@@ -698,6 +768,16 @@ def write_bench_md(scaling: dict) -> None:
         "A burst that starts and ends inside the run can still evade",
         "both brackets — one more reason only pooled minima are",
         "compared.",
+        "",
+        "Round-over-round note (r5): `curate_e2e` is NOT comparable to",
+        "its r4 wall — r4 measured the vacuous flagship (the sf0.01",
+        "corpus died whole at the Gopher gate, so the keep-join, reason",
+        "composition and stratified sample ran on 0 rows); r5 measures",
+        "the non-vacuous version (in-query longform strata, both keep",
+        "branches live, non-empty sample), which legitimately does the",
+        "full downstream work. `lang_id_*`/`extract_e2e` carry 55",
+        "languages vs r4's 40 (langdetect parity) — more work per turn",
+        "by design, same plans.",
         "",
     ]
     skew_path = os.path.join(REPO, "BENCH", "last_skew.json")
