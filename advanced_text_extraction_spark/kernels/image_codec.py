@@ -16,10 +16,10 @@ container without imaging libraries:
   dequantize/dezigzag, vectorized 8x8 IDCT, chroma upsampling, YCbCr→RGB;
   encoder with Annex K tables for the fixture side; 4:4:4/4:2:2/4:2:0,
   restart markers)
-- TIFF 6.0 (baseline strips, both byte orders: Compression none/LZW/
-  PackBits/CCITT-G4-fax (T.6, kernels/fax_codec.py), Predictor 2, 1-bit
-  bilevel + 8-bit gray/RGB, WhiteIsZero; tiled/G3/16-bit route to the
-  real-codec hook)
+- TIFF 6.0 (strips AND §15 tiles, both byte orders: Compression none/
+  LZW/PackBits/CCITT-G4-fax (T.6, kernels/fax_codec.py), Predictor 2,
+  1-bit bilevel + 8/16-bit gray/RGB, WhiteIsZero; G3/planar/palette
+  route to the real-codec hook)
 - raw gray buffers (width*height bytes — the shape of a FlateDecoded
   /DeviceGray PDF image XObject)
 - the repo's FIMG fake container (multimodal/media.py) for synth tables
@@ -1377,12 +1377,15 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
 # ---------------------------------------------------------------------------
 # The remaining real-world scan container after PNG/JPEG (r3 VERDICT
 # stretch #7). Scope: both byte orders, strip organization (any
-# RowsPerStrip), Compression 1 (none) / 4 (CCITT G4 fax, T.6 — see
+# RowsPerStrip) AND §15 tile organization (r5: TileWidth/TileLength/
+# TileOffsets/TileByteCounts, edge tiles padded then cropped),
+# Compression 1 (none) / 4 (CCITT G4 fax, T.6 — see
 # kernels/fax_codec.py) / 5 (LZW, spec §13, early-change code widths) /
-# 32773 (PackBits, §9), Predictor 2 horizontal differencing (§14),
-# PhotometricInterpretation 0/1/2, 1-bit bilevel + 8-bit gray + 8-bit
-# RGB, PlanarConfiguration 1 (chunky). Tiled TIFF, G3 (T.4) fax, and
-# deeper bit depths route to the real-codec hook.
+# 32773 (PackBits, §9), Predictor 2 horizontal differencing (§14, 8-
+# and 16-bit samples), PhotometricInterpretation 0/1/2, 1-bit bilevel +
+# 8-bit and 16-bit (r5, high-byte fold to the module's uint8 contract)
+# gray/RGB, PlanarConfiguration 1 (chunky). G3 (T.4) fax, palette, and
+# planar shapes route to the real-codec hook.
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RAT
 
@@ -1572,6 +1575,51 @@ def _undo_predictor2(raw: np.ndarray, spp: int) -> np.ndarray:
         .reshape(raw.shape)
 
 
+def _undo_predictor2_16(raw: np.ndarray, spp: int, order: str) -> np.ndarray:
+    """§14 horizontal differencing over 16-BIT samples: the difference
+    is per sample VALUE (mod 65536) — byte order only affects the wire
+    encoding, so decode to native, cumsum, re-encode. raw is
+    (rows, width*spp*2) uint8 in wire order."""
+    vals = np.ascontiguousarray(raw).view(np.dtype(order + "u2"))
+    a = vals.reshape(raw.shape[0], -1, spp)
+    acc = np.cumsum(a.astype(np.uint64), axis=1).astype(
+        np.dtype(order + "u2"))
+    return np.ascontiguousarray(acc).view(np.uint8).reshape(raw.shape)
+
+
+def _tiff_segment_pixels(raw: bytes, comp: int, seg_w: int, nrows: int,
+                         spp: int, bits0: int, pred: int,
+                         order: str) -> np.ndarray:
+    """One strip or tile → (nrows, seg_w, spp) uint8 pixels: decompress,
+    undo the predictor (it resets at every segment's left edge, so this
+    must happen per segment, not on the assembled image), unpack bits /
+    fold 16-bit samples to their high byte (the display convention)."""
+    row_bytes = (seg_w * spp * bits0 + 7) // 8
+    if comp == 4:
+        # T.6 resets its reference line per segment; output is the
+        # same MSB-packed bilevel shape as an uncompressed segment
+        from .fax_codec import g4_decode
+        raw = g4_decode(raw, seg_w, nrows)
+    elif comp == 5:
+        raw = _lzw_decode(raw)
+    elif comp == 32773:
+        raw = _packbits_decode(raw)
+    if len(raw) < row_bytes * nrows:
+        raise ImageError("TIFF segment shorter than its rows")
+    seg = np.frombuffer(
+        raw[:row_bytes * nrows], np.uint8).reshape(nrows, row_bytes)
+    if pred == 2:
+        seg = (_undo_predictor2(seg, spp) if bits0 == 8
+               else _undo_predictor2_16(seg, spp, order))
+    if bits0 == 1:
+        px = np.unpackbits(seg, axis=1)[:, :seg_w]
+        return np.where(px == 1, 255, 0).astype(np.uint8)[:, :, None]
+    if bits0 == 16:
+        vals = np.ascontiguousarray(seg).view(np.dtype(order + "u2"))
+        return (vals.reshape(nrows, seg_w, spp) >> 8).astype(np.uint8)
+    return seg.reshape(nrows, seg_w, spp)
+
+
 def decode_tiff(buf: bytes) -> np.ndarray:
     """TIFF 6.0 baseline decoder — first IFD only (the image a scanner
     or exporter puts first; later IFDs are thumbnails/pages).
@@ -1605,113 +1653,155 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     photo = one(262, 1)
     spp = one(277, 1)
     bits = tags.get(258, [1])
-    rps = min(max(one(278, height), 1), height)
     pred = one(317, 1)
+    tiled = 322 in tags or 323 in tags
     if one(284, 1) != 1:
         return _decode_real(buf)  # planar: not a baseline scan shape
     if comp not in (1, 4, 5, 32773) or photo not in (0, 1, 2) \
-            or (322 in tags) or set(bits) not in ({1}, {8}) \
-            or spp not in (1, 3) or (spp == 3 and bits != [8, 8, 8]) \
+            or set(bits) not in ({1}, {8}, {16}) \
+            or spp not in (1, 3) or len(bits) != spp \
+            or (spp == 3 and bits[0] == 1) \
             or (comp == 4 and (bits != [1] or spp != 1
                                or one(266, 1) != 1)):
-        # tiled / G3 fax / 16-bit / palette / LSB-fill G4 etc.
+        # G3 fax / palette / LSB-fill G4 / >16-bit etc.
         return _decode_real(buf)
-    if pred == 2 and bits != [8] * spp:
-        raise ImageError("TIFF predictor 2 requires 8-bit samples")
+    if pred == 2 and bits[0] == 1:
+        raise ImageError("TIFF predictor 2 requires 8/16-bit samples")
 
-    offsets = tags.get(273)
-    if not offsets:
-        raise ImageError("TIFF missing StripOffsets")
-    row_bytes = (width * spp * bits[0] + 7) // 8
-    counts = tags.get(279)
-    if counts is None:
-        if comp != 1 or len(offsets) != 1:
-            raise ImageError("TIFF missing StripByteCounts")
-        counts = [row_bytes * height]
-
-    rows = []
-    for s, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(buf):
-            raise ImageError("TIFF strip out of range")
-        nrows = min(rps, height - s * rps)
-        if nrows <= 0:
-            break
-        raw = bytes(buf[off:off + cnt])
-        if comp == 4:
-            # T.6 resets its reference line per strip; output is the
-            # same MSB-packed bilevel shape as an uncompressed strip
-            from .fax_codec import g4_decode
-            raw = g4_decode(raw, width, nrows)
-        elif comp == 5:
-            raw = _lzw_decode(raw)
-        elif comp == 32773:
-            raw = _packbits_decode(raw)
-        if len(raw) < row_bytes * nrows:
-            raise ImageError("TIFF strip shorter than its rows")
-        strip = np.frombuffer(
-            raw[:row_bytes * nrows], np.uint8).reshape(nrows, row_bytes)
-        if pred == 2:
-            strip = _undo_predictor2(strip, spp)
-        rows.append(strip)
-    if not rows:
-        raise ImageError("TIFF has no decodable strips")
-    grid = np.concatenate(rows, axis=0)
-    if grid.shape[0] != height:
-        raise ImageError("TIFF strips do not cover the image height")
-
-    if bits[0] == 1:
-        px = np.unpackbits(grid, axis=1)[:, :width]
-        arr = np.where(px == 1, 255, 0).astype(np.uint8)
-    elif spp == 3:
-        arr = grid.reshape(height, width, 3)
+    if tiled:
+        # §15 tile organization: tw×tl blocks padded to full size at the
+        # right/bottom edges, ordered left-to-right then top-to-bottom
+        tw, tl = one(322), one(323)
+        if not tw or not tl or tw % 16 or tl % 16:
+            raise ImageError("TIFF tile dims must be positive ×16 (§15)")
+        offsets, counts = tags.get(324), tags.get(325)
+        if not offsets or not counts:
+            raise ImageError("TIFF missing TileOffsets/TileByteCounts")
+        across = (width + tw - 1) // tw
+        down = (height + tl - 1) // tl
+        if len(offsets) < across * down or len(counts) < len(offsets):
+            raise ImageError("TIFF tile table shorter than the grid")
+        arr = np.zeros((height, width, spp), np.uint8)
+        for ty in range(down):
+            for tx in range(across):
+                off = offsets[ty * across + tx]
+                cnt = counts[ty * across + tx]
+                if off + cnt > len(buf):
+                    raise ImageError("TIFF tile out of range")
+                seg = _tiff_segment_pixels(
+                    bytes(buf[off:off + cnt]), comp, tw, tl,
+                    spp, bits[0], pred, order)
+                hc = min(tl, height - ty * tl)
+                wc = min(tw, width - tx * tw)
+                arr[ty * tl:ty * tl + hc,
+                    tx * tw:tx * tw + wc] = seg[:hc, :wc]
     else:
-        arr = grid[:, :width]
+        rps = min(max(one(278, height), 1), height)
+        offsets = tags.get(273)
+        if not offsets:
+            raise ImageError("TIFF missing StripOffsets")
+        row_bytes = (width * spp * bits[0] + 7) // 8
+        counts = tags.get(279)
+        if counts is None:
+            if comp != 1 or len(offsets) != 1:
+                raise ImageError("TIFF missing StripByteCounts")
+            counts = [row_bytes * height]
+        rows = []
+        for s, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(buf):
+                raise ImageError("TIFF strip out of range")
+            nrows = min(rps, height - s * rps)
+            if nrows <= 0:
+                break
+            rows.append(_tiff_segment_pixels(
+                bytes(buf[off:off + cnt]), comp, width, nrows,
+                spp, bits[0], pred, order))
+        if not rows:
+            raise ImageError("TIFF has no decodable strips")
+        arr = np.concatenate(rows, axis=0)
+        if arr.shape[0] != height:
+            raise ImageError("TIFF strips do not cover the image height")
+
+    if spp == 1:
+        arr = arr[:, :, 0]
     if photo == 0:  # WhiteIsZero: min value is white
         arr = (255 - arr.astype(np.uint16)).astype(np.uint8)
     return arr
 
 
+def _tiff_encode_segment(rows: np.ndarray, compression: str,
+                         predictor: int, spp: int,
+                         byteorder: str) -> bytes:
+    """One strip or tile of pixel rows (n, seg_w*spp), uint8 or uint16,
+    → compressed wire bytes (predictor applied per row, §14)."""
+    if predictor == 2:
+        wide = rows.dtype == np.uint16
+        a = rows.reshape(rows.shape[0], -1, spp).astype(
+            np.int32 if wide else np.int16)
+        a[:, 1:] -= a[:, :-1].copy()
+        rows = ((a & 0xFFFF).astype(np.dtype(byteorder + "u2")) if wide
+                else (a & 0xFF).astype(np.uint8)).reshape(rows.shape)
+    elif rows.dtype == np.uint16:
+        rows = rows.astype(np.dtype(byteorder + "u2"))
+    raw = rows.tobytes()
+    if compression == "g4":
+        # fax convention: photometric 0 (WhiteIsZero) — light pixels
+        # (>= 128) are the T.6 white runs, dark pixels the ink
+        from .fax_codec import g4_encode
+        return g4_encode(rows < 128)
+    if compression == "lzw":
+        return _lzw_encode(raw)
+    if compression == "packbits":
+        wire = (np.ascontiguousarray(rows).view(np.uint8)
+                if rows.dtype != np.uint8 else rows)
+        return b"".join(_packbits_encode_row(bytes(r)) for r in wire)
+    return raw
+
+
 def encode_tiff(arr: np.ndarray, compression: str = "none",
                 predictor: int = 1, byteorder: str = "<",
-                rows_per_strip: int | None = None) -> bytes:
-    """TIFF 6.0 writer for the fixture/round-trip side: 8-bit gray
-    ``(h, w)`` or RGB ``(h, w, 3)``, chunky, strip-based.
+                rows_per_strip: int | None = None,
+                tile: tuple[int, int] | None = None) -> bytes:
+    """TIFF 6.0 writer for the fixture/round-trip side: gray ``(h, w)``
+    or RGB ``(h, w, 3)``, uint8 (BitsPerSample 8) or uint16 (16),
+    chunky; strip-based, or §15 tiled when ``tile=(tw, tl)`` (×16 dims,
+    edge tiles padded — light/zero padding, cropped on decode).
     ``compression``: none | lzw | packbits | g4 (bilevel fax — light
     pixels become T.6 white runs, photometric 0); ``predictor=2`` (lzw
     only) exercises §14 horizontal differencing; both byte orders."""
-    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
-        raise ImageError("encode_tiff wants uint8 (h,w) or (h,w,3)")
+    if arr.dtype not in (np.uint8, np.uint16) or arr.ndim not in (2, 3):
+        raise ImageError("encode_tiff wants uint8/uint16 (h,w) or (h,w,3)")
     if compression not in ("none", "lzw", "packbits", "g4"):
         raise ImageError(f"unsupported compression {compression!r}")
     if predictor not in (1, 2) or (predictor == 2 and compression != "lzw"):
         raise ImageError("predictor 2 is defined here for lzw only")
-    if compression == "g4" and arr.ndim != 2:
-        raise ImageError("g4 is bilevel: encode_tiff wants (h, w)")
+    if compression == "g4" and (arr.ndim != 2 or arr.dtype != np.uint8):
+        raise ImageError("g4 is bilevel: encode_tiff wants uint8 (h, w)")
+    if tile is not None and (tile[0] % 16 or tile[1] % 16
+                             or tile[0] <= 0 or tile[1] <= 0):
+        raise ImageError("TIFF tile dims must be positive ×16 (§15)")
     h, w = arr.shape[:2]
     spp = 1 if arr.ndim == 2 else arr.shape[2]
-    rps = h if rows_per_strip is None else max(1, rows_per_strip)
+    sample_bits = 16 if arr.dtype == np.uint16 else 8
     flat = arr.reshape(h, w * spp)
 
     strips = []
-    for y0 in range(0, h, rps):
-        rows = flat[y0:y0 + rps]
-        if predictor == 2:
-            a = rows.reshape(rows.shape[0], -1, spp).astype(np.int16)
-            a[:, 1:] -= a[:, :-1].copy()
-            rows = (a & 0xFF).astype(np.uint8).reshape(rows.shape)
-        raw = rows.tobytes()
-        if compression == "g4":
-            # fax convention: photometric 0 (WhiteIsZero) — light pixels
-            # (>= 128) are the T.6 white runs, dark pixels the ink
-            from .fax_codec import g4_encode
-            strips.append(g4_encode(rows < 128))
-        elif compression == "lzw":
-            strips.append(_lzw_encode(raw))
-        elif compression == "packbits":
-            strips.append(b"".join(_packbits_encode_row(bytes(r))
-                                   for r in rows))
-        else:
-            strips.append(raw)
+    if tile is not None:
+        tw, tl = tile
+        pad_h = (h + tl - 1) // tl * tl
+        pad_w = (w + tw - 1) // tw * tw
+        full = np.zeros((pad_h, pad_w, spp), arr.dtype)
+        full[:h, :w] = arr.reshape(h, w, spp)
+        for ty in range(0, pad_h, tl):
+            for tx in range(0, pad_w, tw):
+                seg = full[ty:ty + tl, tx:tx + tw].reshape(tl, tw * spp)
+                strips.append(_tiff_encode_segment(
+                    seg, compression, predictor, spp, byteorder))
+    else:
+        rps = h if rows_per_strip is None else max(1, rows_per_strip)
+        for y0 in range(0, h, rps):
+            strips.append(_tiff_encode_segment(
+                flat[y0:y0 + rps], compression, predictor, spp, byteorder))
 
     comp_id = {"none": 1, "lzw": 5, "packbits": 32773, "g4": 4}[compression]
     out = bytearray(struct.pack(
@@ -1738,11 +1828,17 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
     g4 = compression == "g4"
     fields: list[tuple[int, int, list[int]]] = [
         (256, 4, [w]), (257, 4, [h]),
-        (258, 3, [1] if g4 else [8] * spp), (259, 3, [comp_id]),
+        (258, 3, [1] if g4 else [sample_bits] * spp), (259, 3, [comp_id]),
         (262, 3, [0] if g4 else [2 if spp == 3 else 1]),
-        (273, 4, strip_offs), (277, 3, [spp]), (278, 4, [rps]),
-        (279, 4, [len(s) for s in strips]),
+        (277, 3, [spp]),
     ]
+    if tile is not None:
+        fields += [(322, 4, [tile[0]]), (323, 4, [tile[1]]),
+                   (324, 4, strip_offs),
+                   (325, 4, [len(s) for s in strips])]
+    else:
+        fields += [(273, 4, strip_offs), (278, 4, [rps]),
+                   (279, 4, [len(s) for s in strips])]
     if predictor == 2:
         fields.append((317, 3, [2]))
     ifd_size = 2 + 12 * len(fields) + 4
@@ -1765,10 +1861,11 @@ def _decode_real(buf: bytes) -> np.ndarray:  # pragma: no cover - no libs here
         import cv2
     except ImportError as exc:
         raise NotImplementedError(
-            "exotic JPEG variants (arithmetic/12-bit/hierarchical) need "
-            "cv2/PIL, not installed in this environment — baseline "
-            "sequential JPEG, progressive JPEG, and PNG decode from "
-            "scratch") from exc
+            "exotic raster variants (arithmetic/12-bit/hierarchical "
+            "JPEG, G3-fax/palette/planar TIFF, lossy VP8) need cv2/PIL, "
+            "not installed in this environment — PNG, baseline + "
+            "progressive JPEG, strip/tile TIFF (incl. G4 fax, 16-bit), "
+            "and VP8L WebP decode from scratch") from exc
     arr = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_UNCHANGED)
     if arr is None:
         raise ImageError("cv2.imdecode failed")

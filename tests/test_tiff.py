@@ -151,14 +151,79 @@ def test_whiteiszero_gray_inverts():
 
 
 def test_unsupported_shapes_route_to_real_hook():
-    """Tiled / 16-bit / palette TIFFs must hit the import-guarded
-    real-codec hook (NotImplementedError in this container), NOT decode
-    wrong or crash — same seam as exotic JPEG variants."""
+    """Palette / G3-fax TIFFs must hit the import-guarded real-codec
+    hook (NotImplementedError in this container), NOT decode wrong or
+    crash — same seam as exotic JPEG variants. (Tiled and 16-bit
+    shapes decoded from scratch since r5 — see the tiled/deep tests.)"""
     img = _imgs()["flat"]
-    buf = bytearray(encode_tiff(img))
-    i = buf.find(struct.pack("<HH", 258, 3))
-    struct.pack_into("<I", buf, i + 8, 16)  # BitsPerSample 16
-    with pytest.raises(NotImplementedError):
+    for tag, val in ((262, 3),   # PhotometricInterpretation: palette
+                     (259, 2)):  # Compression: CCITT G3 1D (T.4)
+        buf = bytearray(encode_tiff(img))
+        i = buf.find(struct.pack("<HH", tag, 3))
+        struct.pack_into("<I", buf, i + 8, val)
+        with pytest.raises(NotImplementedError):
+            decode_tiff(bytes(buf))
+
+
+@pytest.mark.parametrize("byteorder", ["<", ">"])
+@pytest.mark.parametrize("compression", ["none", "lzw", "packbits"])
+def test_tiled_roundtrip_matrix(byteorder, compression):
+    """§15 tile organization: edge tiles padded on encode, cropped on
+    decode; predictor resets at each tile's left edge (exercised via
+    the lzw+predictor case below)."""
+    for name, img in _imgs().items():
+        buf = encode_tiff(img, compression=compression,
+                          byteorder=byteorder, tile=(16, 32))
+        out = decode_tiff(buf)
+        assert out.shape == img.shape, name
+        assert (out == img).all(), name
+        assert (decode_image(buf) == img).all(), name
+
+
+def test_tiled_predictor2_and_g4():
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    buf = encode_tiff(img, "lzw", predictor=2, tile=(16, 16))
+    assert (decode_tiff(buf) == img).all()
+    bilevel = (rng.integers(0, 2, (40, 70), dtype=np.uint8) * 255)
+    buf = encode_tiff(bilevel, "g4", tile=(32, 16))
+    assert (decode_tiff(buf) == bilevel).all()
+
+
+@pytest.mark.parametrize("byteorder", ["<", ">"])
+def test_16bit_roundtrip(byteorder):
+    """16-bit samples fold to their high byte (the module's uint8
+    display contract) — strips and tiles, both byte orders, §14
+    predictor over 16-bit sample values."""
+    rng = np.random.default_rng(29)
+    for shape in [(23, 31), (23, 31, 3)]:
+        img = rng.integers(0, 65536, shape, dtype=np.uint16)
+        want = (img >> 8).astype(np.uint8)
+        for kw in (dict(), dict(tile=(16, 16)),
+                   dict(compression="lzw", predictor=2),
+                   dict(compression="lzw", predictor=2, tile=(16, 16)),
+                   dict(compression="packbits", rows_per_strip=5)):
+            out = decode_tiff(encode_tiff(img, byteorder=byteorder, **kw))
+            assert (out == want).all(), (shape, kw)
+
+
+def test_16bit_wire_is_true_16bit_and_order_matters():
+    """The encoder must write genuine 16-bit wire samples in the header
+    byte order: a hand-built low-byte-only check would pass a decoder
+    that ignores order, so pin a value whose high/low bytes differ."""
+    img = np.full((4, 4), 0xAB12, np.uint16)
+    for bo in ("<", ">"):
+        buf = encode_tiff(img, byteorder=bo)
+        assert (decode_tiff(buf) == 0xAB).all()
+
+
+def test_tile_table_shorter_than_grid_is_typed_error():
+    img = _imgs()["gray_noise"]
+    buf = bytearray(encode_tiff(img, tile=(16, 16)))
+    i = buf.find(struct.pack("<HH", 324, 4))
+    assert i != -1
+    struct.pack_into("<I", buf, i + 4, 1)  # TileOffsets count -> 1
+    with pytest.raises(ImageError):
         decode_tiff(bytes(buf))
 
 
