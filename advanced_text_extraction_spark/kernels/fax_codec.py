@@ -1,17 +1,22 @@
-"""CCITT Group 4 (ITU-T T.6) bilevel fax codec, from scratch — the last
-guarded-hook TIFF compression a real scanned-transcript corpus hits
-(TIFF 6.0 §11 Compression 4; r4 VERDICT stretch #7).
+"""CCITT bilevel fax codecs (ITU-T T.6 and T.4), from scratch — the
+fax compressions a real scanned-transcript corpus hits (TIFF 6.0
+Compression 4 = G4/T.6, 3 = G3/T.4 with EOLs and optional 2D lines,
+2 = Modified Huffman; r4 VERDICT stretch #7, widened r5).
 
-Reference analog: ``cv2.imread`` accepts G4-compressed .tif uploads at
+Reference analog: ``cv2.imread`` accepts fax-compressed .tif uploads at
 /root/reference/text_extractor.py:887-903; this decodes them without the
 real-codec hook.
 
 T.6 is pure 2D (MMR) coding: every row is coded against the reference
 row above it (an imaginary all-white row above the first), as a sequence
 of pass / vertical / horizontal modes over CHANGING ELEMENTS, with the
-T.4 §2 white/black run-length tables for horizontal mode. Work per row
-is proportional to the number of color changes, not pixels — scanned
-text is a few dozen changes per row, so pure Python stays fast.
+T.4 §2 white/black run-length tables for horizontal mode. T.4 1D codes
+each row as alternating white/black runs from those same tables (rows
+byte-aligned for TIFF Compression 2, EOL-separated for Compression 3);
+T.4 2D lines reuse the T.6 mode set against the previous row, flagged
+by a tag bit after each EOL. Work per row is proportional to the number
+of color changes, not pixels — scanned text is a few dozen changes per
+row, so pure Python stays fast.
 
 The decoder emits MSB-first row-packed bits (white=0, black=1) — exactly
 the shape of an uncompressed TIFF bilevel strip — so ``decode_tiff``'s
@@ -167,64 +172,209 @@ def _read_run(br: _BitReader, dec: dict[str, int]) -> int:
             return total
 
 
+def _decode_2d_row(br: _BitReader, ref: list[int],
+                   width: int) -> list[int]:
+    """One 2D-coded (MMR) row against its reference row → changing
+    positions (even index = change to black). Shared by T.6 (every
+    row) and T.4 2D lines (TIFF Compression 3, T4Options bit 0)."""
+    cur: list[int] = []
+    a0, color = -1, 0  # imaginary white pixel before the row
+    while a0 < width:
+        # b1: first ref change STRICTLY right of a0 changing to
+        # !color; change parity gives its color (rows start white,
+        # so even-indexed changes flip to black). a0 = -1 at row
+        # start makes a reference change at position 0 eligible.
+        i = 0
+        while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        mode = _read_mode(br)
+        if mode == "EOFB":
+            # EOFB/EOL is only legal between rows; inside a row it
+            # means the stream is truncated for this geometry
+            raise ImageError("fax: stream ended mid-row")
+        if mode == "EXT":
+            raise ImageError("fax: uncompressed-mode extension "
+                             "unsupported")
+        if mode == "P":
+            a0 = b2  # run of current color extends through b2
+            continue
+        if mode == "H":
+            r1 = _read_run(br, _BLACK_DEC if color else _WHITE_DEC)
+            r2 = _read_run(br, _WHITE_DEC if color else _BLACK_DEC)
+            a1 = (a0 if a0 > 0 else 0) + r1
+            a2 = a1 + r2
+            cur.append(min(a1, width))
+            cur.append(min(a2, width))
+            a0 = a2
+            continue
+        a1 = b1 + _V_DELTA[mode]
+        if a1 < 0 or a1 > width:
+            raise ImageError("fax: vertical mode out of row bounds")
+        cur.append(a1)
+        a0, color = a1, 1 - color
+    return cur
+
+
+def _mh_decode_row(br: _BitReader, width: int) -> list[int]:
+    """One Modified-Huffman (T.4 §2, 1D) row → changing positions.
+    Rows start white; a row starting black is coded as a zero-length
+    white run."""
+    cur: list[int] = []
+    pos, color = 0, 0
+    while pos < width:
+        run = _read_run(br, _BLACK_DEC if color else _WHITE_DEC)
+        pos += run
+        if pos > width:
+            raise ImageError("fax: 1D run overruns the row")
+        cur.append(pos)
+        color ^= 1
+    return cur
+
+
+def _pack_row(cur: list[int], width: int) -> np.ndarray:
+    """Changing positions → MSB-packed row bits (black runs between
+    even/odd change pairs; an unterminated black run reaches row end)."""
+    row = np.zeros(width, np.uint8)
+    for j in range(0, len(cur) - 1, 2):
+        row[cur[j]:cur[j + 1]] = 1
+    if len(cur) % 2 == 1:
+        row[cur[-1]:] = 1
+    return np.packbits(row)
+
+
 def g4_decode(data: bytes, width: int, height: int) -> bytes:
     """Decode a T.6-coded strip to MSB-first row-packed bits (white=0,
     black=1), ``(width+7)//8`` bytes per row, ``height`` rows."""
     if width <= 0 or height <= 0:
         raise ImageError("G4: empty image")
     br = _BitReader(data)
-    row_bytes = (width + 7) // 8
-    out = np.zeros((height, row_bytes), np.uint8)
+    out = np.zeros((height, (width + 7) // 8), np.uint8)
     # reference row as changing positions; even indices change to black
     ref: list[int] = [width, width]
     for y in range(height):
-        cur: list[int] = []
-        a0, color = -1, 0  # imaginary white pixel before the row
-        while a0 < width:
-            # b1: first ref change STRICTLY right of a0 changing to
-            # !color; change parity gives its color (rows start white,
-            # so even-indexed changes flip to black). a0 = -1 at row
-            # start makes a reference change at position 0 eligible.
-            i = 0
-            while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
-                i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            mode = _read_mode(br)
-            if mode == "EOFB":
-                # EOFB is only legal after the final row; inside a row
-                # it means the stream is truncated for this geometry
+        try:
+            cur = _decode_2d_row(br, ref, width)
+        except ImageError as exc:
+            if "mid-row" in str(exc):
                 raise ImageError(f"G4: stream ended at row {y} of "
-                                 f"{height}")
-            if mode == "EXT":
-                raise ImageError("G4: uncompressed-mode extension "
-                                 "unsupported")
-            if mode == "P":
-                a0 = b2  # run of current color extends through b2
-                continue
-            if mode == "H":
-                r1 = _read_run(br, _BLACK_DEC if color else _WHITE_DEC)
-                r2 = _read_run(br, _WHITE_DEC if color else _BLACK_DEC)
-                a1 = (a0 if a0 > 0 else 0) + r1
-                a2 = a1 + r2
-                cur.append(min(a1, width))
-                cur.append(min(a2, width))
-                a0 = a2
-                continue
-            a1 = b1 + _V_DELTA[mode]
-            if a1 < 0 or a1 > width:
-                raise ImageError("G4: vertical mode out of row bounds")
-            cur.append(a1)
-            a0, color = a1, 1 - color
-        # paint black runs (between odd/even change pairs)
-        row = np.zeros(width, np.uint8)
-        for j in range(0, len(cur) - 1, 2):
-            row[cur[j]:cur[j + 1]] = 1
-        if len(cur) % 2 == 1:  # unterminated black run reaches row end
-            row[cur[-1]:] = 1
-        out[y] = np.packbits(row)
+                                 f"{height}") from None
+            raise
+        out[y] = _pack_row(cur, width)
         ref = [p for p in cur if p < width] + [width, width]
     return out.tobytes()
+
+
+def mh_decode(data: bytes, width: int, height: int) -> bytes:
+    """TIFF Compression 2 ('Modified Huffman' / CCITT RLE): each row is
+    an independent T.4 1D run sequence and starts on a BYTE boundary
+    (TIFF 6.0 §10); no EOL codes anywhere."""
+    if width <= 0 or height <= 0:
+        raise ImageError("fax: empty image")
+    br = _BitReader(data)
+    out = np.zeros((height, (width + 7) // 8), np.uint8)
+    for y in range(height):
+        br.pos = (br.pos + 7) & ~7  # rows are byte-aligned
+        out[y] = _pack_row(_mh_decode_row(br, width), width)
+    return out.tobytes()
+
+
+def _expect_eol(br: _BitReader) -> None:
+    """Consume the T.4 EOL (eleven 0s then a 1), tolerating any number
+    of leading fill zeros (T4Options bit 2 writers byte-align with
+    fill; a fill-free stream passes the same check)."""
+    zeros = 0
+    while True:
+        if br.read1():
+            if zeros >= 11:
+                return
+            raise ImageError("fax: malformed G3 EOL")
+        zeros += 1
+
+
+def g3_decode(data: bytes, width: int, height: int,
+              two_d: bool = False) -> bytes:
+    """TIFF Compression 3 (T.4/G3): every row is preceded by an EOL
+    (fill-bit tolerant). 1D streams code each row with the §2 run
+    tables; with ``two_d`` (T4Options bit 0) a tag bit after each EOL
+    says whether the next line is 1D or 2D-coded (the T.6 mode set)
+    against the previous line."""
+    if width <= 0 or height <= 0:
+        raise ImageError("fax: empty image")
+    br = _BitReader(data)
+    out = np.zeros((height, (width + 7) // 8), np.uint8)
+    ref: list[int] = [width, width]
+    for y in range(height):
+        _expect_eol(br)
+        one_d = br.read1() == 1 if two_d else True
+        cur = (_mh_decode_row(br, width) if one_d
+               else _decode_2d_row(br, ref, width))
+        out[y] = _pack_row(cur, width)
+        ref = [p for p in cur if p < width] + [width, width]
+    return out.tobytes()
+
+
+def _changes(row: np.ndarray) -> list[int]:
+    d = np.flatnonzero(np.diff(
+        np.concatenate(([False], row)).astype(np.int8)))
+    return list(d)
+
+
+def _put_run(bits: list[str], run: int, color: int) -> None:
+    table = _BLACK_CODES if color else _WHITE_CODES
+    while run >= 64:
+        # largest makeup <= run (makeups are multiples of 64)
+        mk = min(run - run % 64, 2560)
+        bits.append(_EXT_MAKEUP[mk] if mk > 1728 else table[mk])
+        run -= mk
+    bits.append(table[run])
+
+
+def _encode_2d_row(bits: list[str], cur_changes: list[int],
+                   ref: list[int], w: int) -> None:
+    """Emit one 2D-coded (MMR) row's pass/vertical/horizontal modes."""
+    cur = cur_changes + [w, w]
+    a0, color, ci = -1, 0, 0
+    while a0 < w:
+        i = 0
+        while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
+            i += 1
+        b1 = ref[i] if i < len(ref) else w
+        b2 = ref[i + 1] if i + 1 < len(ref) else w
+        a1 = cur[ci] if ci < len(cur) else w
+        if b2 < a1:
+            bits.append("0001")  # pass
+            a0 = b2
+            continue
+        if abs(a1 - b1) <= 3:
+            v = {0: "1", 1: "011", 2: "000011", 3: "0000011",
+                 -1: "010", -2: "000010", -3: "0000010"}[a1 - b1]
+            bits.append(v)
+            a0, color = a1, 1 - color
+            ci += 1
+            continue
+        a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+        bits.append("001")  # horizontal: runs measured from
+        _put_run(bits, a1 - (a0 if a0 > 0 else 0), color)  # max(a0, 0)
+        _put_run(bits, a2 - a1, 1 - color)
+        a0 = a2
+        ci += 2
+
+
+def _encode_1d_row(bits: list[str], cur_changes: list[int],
+                   w: int) -> None:
+    """Emit one T.4 1D row: alternating white/black runs from pixel 0
+    (a black start is a zero-length white run)."""
+    prev, color = 0, 0
+    for p in cur_changes + [w]:
+        _put_run(bits, p - prev, color)
+        prev, color = p, 1 - color
+
+
+def _pack_bits_str(s: str) -> bytes:
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
 
 
 def g4_encode(ink: np.ndarray) -> bytes:
@@ -236,51 +386,50 @@ def g4_encode(ink: np.ndarray) -> bytes:
     h, w = ink.shape
     mask = ink.astype(bool)
     bits: list[str] = []
-
-    def changes(row) -> list[int]:
-        d = np.flatnonzero(np.diff(
-            np.concatenate(([False], row)).astype(np.int8)))
-        return list(d)
-
-    def put_run(run: int, color: int) -> None:
-        table = _BLACK_CODES if color else _WHITE_CODES
-        while run >= 64:
-            # largest makeup <= run (makeups are multiples of 64)
-            mk = min(run - run % 64, 2560)
-            bits.append(_EXT_MAKEUP[mk] if mk > 1728 else table[mk])
-            run -= mk
-        bits.append(table[run])
-
     ref = [w, w]
     for y in range(h):
-        cur = changes(mask[y]) + [w, w]
-        a0, color, ci = -1, 0, 0
-        while a0 < w:
-            i = 0
-            while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
-                i += 1
-            b1 = ref[i] if i < len(ref) else w
-            b2 = ref[i + 1] if i + 1 < len(ref) else w
-            a1 = cur[ci] if ci < len(cur) else w
-            if b2 < a1:
-                bits.append("0001")  # pass
-                a0 = b2
-                continue
-            if abs(a1 - b1) <= 3:
-                v = {0: "1", 1: "011", 2: "000011", 3: "0000011",
-                     -1: "010", -2: "000010", -3: "0000010"}[a1 - b1]
-                bits.append(v)
-                a0, color = a1, 1 - color
-                ci += 1
-                continue
-            a2 = cur[ci + 1] if ci + 1 < len(cur) else w
-            bits.append("001")  # horizontal: runs measured from
-            put_run(a1 - (a0 if a0 > 0 else 0), color)  # max(a0, 0)
-            put_run(a2 - a1, 1 - color)
-            a0 = a2
-            ci += 2
+        cur = _changes(mask[y])
+        _encode_2d_row(bits, cur, ref, w)
         ref = [p for p in cur if p < w] + [w, w]
     bits.append("000000000001" * 2)  # EOFB
-    s = "".join(bits)
-    s += "0" * (-len(s) % 8)
-    return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+    return _pack_bits_str("".join(bits))
+
+
+def mh_encode(ink: np.ndarray) -> bytes:
+    """Fixture twin of ``mh_decode``: independent 1D rows, each padded
+    to a byte boundary (TIFF Compression 2)."""
+    if ink.ndim != 2:
+        raise ImageError("mh_encode wants a (h, w) mask")
+    mask = ink.astype(bool)
+    h, w = mask.shape
+    rows: list[str] = []
+    for y in range(h):
+        bits: list[str] = []
+        _encode_1d_row(bits, _changes(mask[y]), w)
+        s = "".join(bits)
+        rows.append(s + "0" * (-len(s) % 8))
+    return _pack_bits_str("".join(rows))
+
+
+def g3_encode(ink: np.ndarray, two_d: bool = False) -> bytes:
+    """Fixture twin of ``g3_decode``: EOL before every row; in 2D mode
+    the first row is 1D (nothing to reference) and later rows 2D, each
+    flagged by the tag bit — the shape a K>1 T.4 writer emits."""
+    if ink.ndim != 2:
+        raise ImageError("g3_encode wants a (h, w) mask")
+    mask = ink.astype(bool)
+    h, w = mask.shape
+    bits: list[str] = []
+    ref = [w, w]
+    for y in range(h):
+        bits.append("000000000001")  # EOL
+        one_d = y == 0 if two_d else True
+        if two_d:
+            bits.append("1" if one_d else "0")
+        cur = _changes(mask[y])
+        if one_d:
+            _encode_1d_row(bits, cur, w)
+        else:
+            _encode_2d_row(bits, cur, ref, w)
+        ref = [p for p in cur if p < w] + [w, w]
+    return _pack_bits_str("".join(bits))

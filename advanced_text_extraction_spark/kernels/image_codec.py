@@ -17,9 +17,10 @@ container without imaging libraries:
   encoder with Annex K tables for the fixture side; 4:4:4/4:2:2/4:2:0,
   restart markers)
 - TIFF 6.0 (strips AND §15 tiles, both byte orders: Compression none/
-  LZW/PackBits/CCITT-G4-fax (T.6, kernels/fax_codec.py), Predictor 2,
-  1-bit bilevel + 8/16-bit gray/RGB, WhiteIsZero; G3/planar/palette
-  route to the real-codec hook)
+  LZW/PackBits and the whole CCITT fax family — G4/T.6, G3/T.4 1D+2D,
+  Modified Huffman (kernels/fax_codec.py) — Predictor 2, 1-bit bilevel
+  + 8/16-bit gray/RGB, 4/8-bit ColorMap palettes, WhiteIsZero;
+  TIFF-JPEG/planar route to the real-codec hook)
 - raw gray buffers (width*height bytes — the shape of a FlateDecoded
   /DeviceGray PDF image XObject)
 - the repo's FIMG fake container (multimodal/media.py) for synth tables
@@ -1379,13 +1380,17 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
 # stretch #7). Scope: both byte orders, strip organization (any
 # RowsPerStrip) AND §15 tile organization (r5: TileWidth/TileLength/
 # TileOffsets/TileByteCounts, edge tiles padded then cropped),
-# Compression 1 (none) / 4 (CCITT G4 fax, T.6 — see
-# kernels/fax_codec.py) / 5 (LZW, spec §13, early-change code widths) /
-# 32773 (PackBits, §9), Predictor 2 horizontal differencing (§14, 8-
-# and 16-bit samples), PhotometricInterpretation 0/1/2, 1-bit bilevel +
-# 8-bit and 16-bit (r5, high-byte fold to the module's uint8 contract)
-# gray/RGB, PlanarConfiguration 1 (chunky). G3 (T.4) fax, palette, and
-# planar shapes route to the real-codec hook.
+# Compression 1 (none) / 2 (Modified Huffman, byte-aligned T.4 1D
+# rows) / 3 (G3/T.4 with EOLs; T4Options bit 0 = 2D lines, fill bits
+# tolerated) / 4 (CCITT G4 fax, T.6) — fax family in
+# kernels/fax_codec.py — / 5 (LZW, spec §13, early-change code widths)
+# / 32773 (PackBits, §9), Predictor 2 horizontal differencing (§14, 8-
+# and 16-bit samples), PhotometricInterpretation 0/1/2 and 3 (palette:
+# 4-bit nibble-packed or 8-bit indices through a 16-bit ColorMap,
+# high-byte fold), 1-bit bilevel + 8-bit and 16-bit (r5, high-byte
+# fold to the module's uint8 contract) gray/RGB, PlanarConfiguration 1
+# (chunky). TIFF-JPEG, planar, and uncompressed-mode-G3 shapes route
+# to the real-codec hook.
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RAT
 
@@ -1589,17 +1594,22 @@ def _undo_predictor2_16(raw: np.ndarray, spp: int, order: str) -> np.ndarray:
 
 def _tiff_segment_pixels(raw: bytes, comp: int, seg_w: int, nrows: int,
                          spp: int, bits0: int, pred: int,
-                         order: str) -> np.ndarray:
+                         order: str, t4_2d: bool = False) -> np.ndarray:
     """One strip or tile → (nrows, seg_w, spp) uint8 pixels: decompress,
     undo the predictor (it resets at every segment's left edge, so this
     must happen per segment, not on the assembled image), unpack bits /
     fold 16-bit samples to their high byte (the display convention)."""
     row_bytes = (seg_w * spp * bits0 + 7) // 8
-    if comp == 4:
-        # T.6 resets its reference line per segment; output is the
-        # same MSB-packed bilevel shape as an uncompressed segment
-        from .fax_codec import g4_decode
-        raw = g4_decode(raw, seg_w, nrows)
+    if comp in (2, 3, 4):
+        # fax family resets its reference/row state per segment; output
+        # is the same MSB-packed bilevel shape as an uncompressed one
+        from .fax_codec import g3_decode, g4_decode, mh_decode
+        if comp == 4:
+            raw = g4_decode(raw, seg_w, nrows)
+        elif comp == 3:
+            raw = g3_decode(raw, seg_w, nrows, two_d=t4_2d)
+        else:
+            raw = mh_decode(raw, seg_w, nrows)
     elif comp == 5:
         raw = _lzw_decode(raw)
     elif comp == 32773:
@@ -1614,6 +1624,11 @@ def _tiff_segment_pixels(raw: bytes, comp: int, seg_w: int, nrows: int,
     if bits0 == 1:
         px = np.unpackbits(seg, axis=1)[:, :seg_w]
         return np.where(px == 1, 255, 0).astype(np.uint8)[:, :, None]
+    if bits0 == 4:
+        # palette nibbles, high nibble first (§4 default fill order)
+        inter = np.empty((nrows, seg.shape[1] * 2), np.uint8)
+        inter[:, ::2], inter[:, 1::2] = seg >> 4, seg & 0xF
+        return inter[:, :seg_w][:, :, None]
     if bits0 == 16:
         vals = np.ascontiguousarray(seg).view(np.dtype(order + "u2"))
         return (vals.reshape(nrows, seg_w, spp) >> 8).astype(np.uint8)
@@ -1657,16 +1672,25 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     tiled = 322 in tags or 323 in tags
     if one(284, 1) != 1:
         return _decode_real(buf)  # planar: not a baseline scan shape
-    if comp not in (1, 4, 5, 32773) or photo not in (0, 1, 2) \
-            or set(bits) not in ({1}, {8}, {16}) \
+    t4opts = one(292, 0)
+    if comp not in (1, 2, 3, 4, 5, 32773) or photo not in (0, 1, 2, 3) \
+            or set(bits) not in ({1}, {4}, {8}, {16}) \
             or spp not in (1, 3) or len(bits) != spp \
-            or (spp == 3 and bits[0] == 1) \
-            or (comp == 4 and (bits != [1] or spp != 1
-                               or one(266, 1) != 1)):
-        # G3 fax / palette / LSB-fill G4 / >16-bit etc.
+            or (spp == 3 and bits[0] not in (8, 16)) \
+            or (comp in (2, 3, 4) and (bits != [1] or spp != 1
+                                       or one(266, 1) != 1)) \
+            or (comp == 3 and t4opts & 2) \
+            or (photo == 3 and (spp != 1 or bits[0] not in (4, 8)
+                                or comp in (2, 3, 4) or pred != 1
+                                or len(tags.get(320, []))
+                                != 3 << bits[0])) \
+            or (photo != 3 and bits[0] == 4):
+        # uncompressed-mode G3 / LSB-fill fax / >16-bit / malformed
+        # ColorMap / non-palette 4-bit etc.
         return _decode_real(buf)
-    if pred == 2 and bits[0] == 1:
+    if pred == 2 and bits[0] not in (8, 16):
         raise ImageError("TIFF predictor 2 requires 8/16-bit samples")
+    t4_2d = comp == 3 and bool(t4opts & 1)
 
     if tiled:
         # §15 tile organization: tw×tl blocks padded to full size at the
@@ -1690,7 +1714,7 @@ def decode_tiff(buf: bytes) -> np.ndarray:
                     raise ImageError("TIFF tile out of range")
                 seg = _tiff_segment_pixels(
                     bytes(buf[off:off + cnt]), comp, tw, tl,
-                    spp, bits[0], pred, order)
+                    spp, bits[0], pred, order, t4_2d)
                 hc = min(tl, height - ty * tl)
                 wc = min(tw, width - tx * tw)
                 arr[ty * tl:ty * tl + hc,
@@ -1715,7 +1739,7 @@ def decode_tiff(buf: bytes) -> np.ndarray:
                 break
             rows.append(_tiff_segment_pixels(
                 bytes(buf[off:off + cnt]), comp, width, nrows,
-                spp, bits[0], pred, order))
+                spp, bits[0], pred, order, t4_2d))
         if not rows:
             raise ImageError("TIFF has no decodable strips")
         arr = np.concatenate(rows, axis=0)
@@ -1724,6 +1748,14 @@ def decode_tiff(buf: bytes) -> np.ndarray:
 
     if spp == 1:
         arr = arr[:, :, 0]
+    if photo == 3:
+        # palette: indices through ColorMap (3×2^bits SHORTs stored
+        # R..G..B, 16-bit intensities — fold to the high byte)
+        cmap = (np.asarray(tags[320], np.uint16)
+                .reshape(3, -1) >> 8).astype(np.uint8)
+        if int(arr.max(initial=0)) >= cmap.shape[1]:
+            raise ImageError("TIFF palette index out of ColorMap range")
+        return np.stack([cmap[c][arr] for c in range(3)], axis=-1)
     if photo == 0:  # WhiteIsZero: min value is white
         arr = (255 - arr.astype(np.uint16)).astype(np.uint8)
     return arr
@@ -1744,11 +1776,16 @@ def _tiff_encode_segment(rows: np.ndarray, compression: str,
     elif rows.dtype == np.uint16:
         rows = rows.astype(np.dtype(byteorder + "u2"))
     raw = rows.tobytes()
-    if compression == "g4":
+    if compression in ("g4", "mh", "g3", "g3-2d"):
         # fax convention: photometric 0 (WhiteIsZero) — light pixels
-        # (>= 128) are the T.6 white runs, dark pixels the ink
-        from .fax_codec import g4_encode
-        return g4_encode(rows < 128)
+        # (>= 128) are the white runs, dark pixels the ink
+        from .fax_codec import g3_encode, g4_encode, mh_encode
+        ink = rows < 128
+        if compression == "g4":
+            return g4_encode(ink)
+        if compression == "mh":
+            return mh_encode(ink)
+        return g3_encode(ink, two_d=compression == "g3-2d")
     if compression == "lzw":
         return _lzw_encode(raw)
     if compression == "packbits":
@@ -1761,29 +1798,48 @@ def _tiff_encode_segment(rows: np.ndarray, compression: str,
 def encode_tiff(arr: np.ndarray, compression: str = "none",
                 predictor: int = 1, byteorder: str = "<",
                 rows_per_strip: int | None = None,
-                tile: tuple[int, int] | None = None) -> bytes:
+                tile: tuple[int, int] | None = None,
+                palette: np.ndarray | None = None,
+                palette_bits: int = 8) -> bytes:
     """TIFF 6.0 writer for the fixture/round-trip side: gray ``(h, w)``
     or RGB ``(h, w, 3)``, uint8 (BitsPerSample 8) or uint16 (16),
     chunky; strip-based, or §15 tiled when ``tile=(tw, tl)`` (×16 dims,
     edge tiles padded — light/zero padding, cropped on decode).
-    ``compression``: none | lzw | packbits | g4 (bilevel fax — light
-    pixels become T.6 white runs, photometric 0); ``predictor=2`` (lzw
-    only) exercises §14 horizontal differencing; both byte orders."""
+    ``compression``: none | lzw | packbits | g4 | mh | g3 | g3-2d
+    (fax tiers are bilevel — light pixels become white runs,
+    photometric 0; g3-2d writes T4Options bit 0); ``predictor=2`` (lzw
+    only) exercises §14 horizontal differencing; both byte orders.
+    ``palette`` ((n, 3) uint8) writes photometric 3 with ``arr`` as
+    indices at ``palette_bits`` ∈ {4, 8} (strips only)."""
     if arr.dtype not in (np.uint8, np.uint16) or arr.ndim not in (2, 3):
         raise ImageError("encode_tiff wants uint8/uint16 (h,w) or (h,w,3)")
-    if compression not in ("none", "lzw", "packbits", "g4"):
+    fax = compression in ("g4", "mh", "g3", "g3-2d")
+    if compression not in ("none", "lzw", "packbits") and not fax:
         raise ImageError(f"unsupported compression {compression!r}")
     if predictor not in (1, 2) or (predictor == 2 and compression != "lzw"):
         raise ImageError("predictor 2 is defined here for lzw only")
-    if compression == "g4" and (arr.ndim != 2 or arr.dtype != np.uint8):
-        raise ImageError("g4 is bilevel: encode_tiff wants uint8 (h, w)")
+    if fax and (arr.ndim != 2 or arr.dtype != np.uint8):
+        raise ImageError("fax tiers are bilevel: encode_tiff wants "
+                         "uint8 (h, w)")
     if tile is not None and (tile[0] % 16 or tile[1] % 16
                              or tile[0] <= 0 or tile[1] <= 0):
         raise ImageError("TIFF tile dims must be positive ×16 (§15)")
+    if palette is not None and (
+            arr.ndim != 2 or arr.dtype != np.uint8 or fax
+            or predictor != 1 or tile is not None
+            or palette_bits not in (4, 8)
+            or len(palette) > (1 << palette_bits)
+            or int(arr.max(initial=0)) >= len(palette)):
+        raise ImageError("palette wants uint8 (h, w) indices within the "
+                         "map, strips, no predictor/fax, bits 4 or 8")
     h, w = arr.shape[:2]
     spp = 1 if arr.ndim == 2 else arr.shape[2]
     sample_bits = 16 if arr.dtype == np.uint16 else 8
-    flat = arr.reshape(h, w * spp)
+    if palette is not None and palette_bits == 4:
+        idx = np.pad(arr, ((0, 0), (0, w % 2))) if w % 2 else arr
+        flat = ((idx[:, ::2] << 4) | idx[:, 1::2]).astype(np.uint8)
+    else:
+        flat = arr.reshape(h, w * spp)
 
     strips = []
     if tile is not None:
@@ -1803,7 +1859,8 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
             strips.append(_tiff_encode_segment(
                 flat[y0:y0 + rps], compression, predictor, spp, byteorder))
 
-    comp_id = {"none": 1, "lzw": 5, "packbits": 32773, "g4": 4}[compression]
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773, "g4": 4,
+               "mh": 2, "g3": 3, "g3-2d": 3}[compression]
     out = bytearray(struct.pack(
         byteorder + "2sHI", b"II" if byteorder == "<" else b"MM", 42, 0))
     strip_offs = []
@@ -1825,13 +1882,25 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
         extra += packed
         return struct.pack(byteorder + "HHII", tag, typ, len(vals), ptr)
 
-    g4 = compression == "g4"
+    if fax:
+        bits_f, photo_f = [1], 0
+    elif palette is not None:
+        bits_f, photo_f = [palette_bits], 3
+    else:
+        bits_f, photo_f = [sample_bits] * spp, 2 if spp == 3 else 1
     fields: list[tuple[int, int, list[int]]] = [
         (256, 4, [w]), (257, 4, [h]),
-        (258, 3, [1] if g4 else [sample_bits] * spp), (259, 3, [comp_id]),
-        (262, 3, [0] if g4 else [2 if spp == 3 else 1]),
+        (258, 3, bits_f), (259, 3, [comp_id]),
+        (262, 3, [photo_f]),
         (277, 3, [spp]),
     ]
+    if compression == "g3-2d":
+        fields.append((292, 4, [1]))  # T4Options: 2D coding
+    if palette is not None:
+        ncol = 1 << palette_bits
+        cmap = [(int(palette[i][c]) << 8 if i < len(palette) else 0)
+                for c in range(3) for i in range(ncol)]
+        fields.append((320, 3, cmap))
     if tile is not None:
         fields += [(322, 4, [tile[0]]), (323, 4, [tile[1]]),
                    (324, 4, strip_offs),

@@ -111,6 +111,69 @@ def test_roundtrip_property():
         assert (got == ink).all(), (trial, h, w)
 
 
+def test_g3_mh_roundtrip_property():
+    """The T.4 tiers share g4's property sweep: MH (independent
+    byte-aligned rows), G3 1D (EOL-separated), G3 2D (tag-bit-mixed
+    1D first row + 2D lines against the previous row)."""
+    from advanced_text_extraction_spark.kernels.fax_codec import (
+        g3_decode, g3_encode, mh_decode, mh_encode)
+    rng = np.random.default_rng(17)
+    for trial in range(24):
+        h = int(rng.integers(1, 30))
+        w = int(rng.integers(1, 300))
+        kind = trial % 4
+        if kind == 0:
+            ink = rng.random((h, w)) < 0.5
+        elif kind == 1:
+            ink = np.zeros((h, w), bool)
+        elif kind == 2:
+            ink = np.ones((h, w), bool)
+        else:
+            ink = np.zeros((h, w), bool)
+            for _ in range(int(rng.integers(1, 8))):
+                x0 = int(rng.integers(0, w))
+                y0 = int(rng.integers(0, h))
+                ink[y0:y0 + int(rng.integers(1, 9)),
+                    x0:x0 + int(rng.integers(1, 30))] = True
+        assert (_unpack(mh_decode(mh_encode(ink), w, h), w, h)
+                == ink).all(), (trial, "mh")
+        assert (_unpack(g3_decode(g3_encode(ink), w, h), w, h)
+                == ink).all(), (trial, "g3-1d")
+        assert (_unpack(g3_decode(g3_encode(ink, two_d=True), w, h,
+                                  two_d=True), w, h)
+                == ink).all(), (trial, "g3-2d")
+
+
+def test_mh_rows_are_byte_aligned_and_independent():
+    """TIFF §10: each MH row starts on a byte boundary — decoding row 2
+    must not depend on row 1's trailing bit position."""
+    from advanced_text_extraction_spark.kernels.fax_codec import (
+        mh_decode, mh_encode)
+    ink = np.zeros((2, 9), bool)
+    ink[0, 3:5] = True   # row 0 codes in a non-multiple-of-8 bit count
+    ink[1, 0:9] = True
+    enc = mh_encode(ink)
+    assert (_unpack(mh_decode(enc, 9, 2), 9, 2) == ink).all()
+
+
+def test_g3_eol_with_fill_bits_tolerated():
+    """T4Options bit-2 writers pad EOLs with leading fill zeros; the
+    decoder must absorb any number of them."""
+    from advanced_text_extraction_spark.kernels.fax_codec import g3_decode
+    # one all-white row of width 4: EOL + white-4 ("1011"), with 5 fill
+    # zeros before the EOL
+    bits = "0" * 5 + "000000000001" + "1011"
+    bits += "0" * (-len(bits) % 8)
+    data = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    assert (_unpack(g3_decode(data, 4, 1), 4, 1) == 0).all()
+
+
+def test_g3_missing_eol_raises():
+    from advanced_text_extraction_spark.kernels.fax_codec import g3_decode
+    with pytest.raises(ImageError):
+        g3_decode(b"\xb0", 4, 1)  # starts with a 1: no 11-zero EOL
+
+
 def test_roundtrip_wide_runs_use_makeups():
     # runs > 2560 need chained extended makeup codes
     ink = np.zeros((2, 6000), bool)

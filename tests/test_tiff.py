@@ -151,15 +151,18 @@ def test_whiteiszero_gray_inverts():
 
 
 def test_unsupported_shapes_route_to_real_hook():
-    """Palette / G3-fax TIFFs must hit the import-guarded real-codec
-    hook (NotImplementedError in this container), NOT decode wrong or
-    crash — same seam as exotic JPEG variants. (Tiled and 16-bit
-    shapes decoded from scratch since r5 — see the tiled/deep tests.)"""
+    """TIFF-JPEG / planar / mismatched shapes must hit the
+    import-guarded real-codec hook (NotImplementedError in this
+    container), NOT decode wrong or crash — same seam as exotic JPEG
+    variants. (Tiled, 16-bit, palette, and the full fax family decode
+    from scratch since r5 — see their tests below.)"""
     img = _imgs()["flat"]
-    for tag, val in ((262, 3),   # PhotometricInterpretation: palette
-                     (259, 2)):  # Compression: CCITT G3 1D (T.4)
+    for tag, val in ((259, 7),    # Compression: TIFF-JPEG
+                     (259, 2),    # fax claimed on 8-bit gray data
+                     (262, 3)):   # palette claimed without a ColorMap
         buf = bytearray(encode_tiff(img))
         i = buf.find(struct.pack("<HH", tag, 3))
+        assert i != -1
         struct.pack_into("<I", buf, i + 8, val)
         with pytest.raises(NotImplementedError):
             decode_tiff(bytes(buf))
@@ -215,6 +218,49 @@ def test_16bit_wire_is_true_16bit_and_order_matters():
     for bo in ("<", ">"):
         buf = encode_tiff(img, byteorder=bo)
         assert (decode_tiff(buf) == 0xAB).all()
+
+
+@pytest.mark.parametrize("compression", ["mh", "g3", "g3-2d"])
+@pytest.mark.parametrize("organization", [dict(), dict(rows_per_strip=7),
+                                          dict(tile=(32, 16))])
+def test_g3_family_in_container(compression, organization):
+    """TIFF Compression 2 (Modified Huffman, byte-aligned rows) and 3
+    (T.4/G3 with EOLs; g3-2d writes T4Options bit 0 and mixes 1D/2D
+    lines) — strips and tiles, per-segment state reset like G4."""
+    rng = np.random.default_rng(31)
+    img = (rng.integers(0, 2, (40, 70), dtype=np.uint8) * 255)
+    buf = encode_tiff(img, compression, **organization)
+    assert (decode_tiff(buf) == img).all()
+    assert (decode_image(buf) == img).all()
+
+
+@pytest.mark.parametrize("palette_bits", [4, 8])
+@pytest.mark.parametrize("compression", ["none", "lzw", "packbits"])
+def test_palette_roundtrip(palette_bits, compression):
+    """Photometric 3: indices through a 16-bit ColorMap (high-byte
+    fold), 8-bit and nibble-packed 4-bit indices, odd widths."""
+    rng = np.random.default_rng(37)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for shape in [(23, 31), (9, 13)]:
+        idx = rng.integers(0, 16, shape, dtype=np.uint8)
+        buf = encode_tiff(idx, compression, palette=pal,
+                          palette_bits=palette_bits)
+        out = decode_tiff(buf)
+        assert out.shape == (*shape, 3)
+        assert (out == pal[idx]).all()
+
+
+def test_palette_short_colormap_routes_to_hook():
+    """A ColorMap shorter than 3*2^bits is malformed — route to the
+    hook rather than indexing out of it."""
+    pal = np.zeros((16, 3), np.uint8)
+    idx = np.zeros((8, 8), np.uint8)
+    buf = bytearray(encode_tiff(idx, palette=pal, palette_bits=8))
+    i = buf.find(struct.pack("<HH", 320, 3))
+    assert i != -1
+    struct.pack_into("<I", buf, i + 4, 100)  # claim only 100 entries
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(buf))
 
 
 def test_tile_table_shorter_than_grid_is_typed_error():
