@@ -19,8 +19,8 @@ container without imaging libraries:
 - TIFF 6.0 (strips AND §15 tiles, both byte orders: Compression none/
   LZW/PackBits and the whole CCITT fax family — G4/T.6, G3/T.4 1D+2D,
   Modified Huffman (kernels/fax_codec.py) — Predictor 2, 1-bit bilevel
-  + 8/16-bit gray/RGB, 4/8-bit ColorMap palettes, WhiteIsZero;
-  TIFF-JPEG/planar route to the real-codec hook)
+  + 8/16-bit gray/RGB, 4/8-bit ColorMap palettes, planar or
+  chunky, WhiteIsZero; TIFF-JPEG routes to the real-codec hook)
 - raw gray buffers (width*height bytes — the shape of a FlateDecoded
   /DeviceGray PDF image XObject)
 - the repo's FIMG fake container (multimodal/media.py) for synth tables
@@ -1389,8 +1389,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
 # 4-bit nibble-packed or 8-bit indices through a 16-bit ColorMap,
 # high-byte fold), 1-bit bilevel + 8-bit and 16-bit (r5, high-byte
 # fold to the module's uint8 contract) gray/RGB, PlanarConfiguration 1
-# (chunky). TIFF-JPEG, planar, and uncompressed-mode-G3 shapes route
-# to the real-codec hook.
+# (chunky) and 2 (planar: channel-major segment tables, r5).
+# TIFF-JPEG and uncompressed-mode-G3 shapes route to the hook.
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RAT
 
@@ -1670,10 +1670,10 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     bits = tags.get(258, [1])
     pred = one(317, 1)
     tiled = 322 in tags or 323 in tags
-    if one(284, 1) != 1:
-        return _decode_real(buf)  # planar: not a baseline scan shape
+    planar = one(284, 1) == 2 and spp == 3
     t4opts = one(292, 0)
     if comp not in (1, 2, 3, 4, 5, 32773) or photo not in (0, 1, 2, 3) \
+            or one(284, 1) not in (1, 2) \
             or set(bits) not in ({1}, {4}, {8}, {16}) \
             or spp not in (1, 3) or len(bits) != spp \
             or (spp == 3 and bits[0] not in (8, 16)) \
@@ -1691,45 +1691,41 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     if pred == 2 and bits[0] not in (8, 16):
         raise ImageError("TIFF predictor 2 requires 8/16-bit samples")
     t4_2d = comp == 3 and bool(t4opts & 1)
+    # §14 PlanarConfiguration 2: each component's segments form an
+    # independent single-channel plane (segment tables are
+    # channel-major), so assemble per channel with spp=1 and stack
+    spp_eff = 1 if planar else spp
 
-    if tiled:
-        # §15 tile organization: tw×tl blocks padded to full size at the
-        # right/bottom edges, ordered left-to-right then top-to-bottom
-        tw, tl = one(322), one(323)
-        if not tw or not tl or tw % 16 or tl % 16:
-            raise ImageError("TIFF tile dims must be positive ×16 (§15)")
-        offsets, counts = tags.get(324), tags.get(325)
-        if not offsets or not counts:
-            raise ImageError("TIFF missing TileOffsets/TileByteCounts")
-        across = (width + tw - 1) // tw
-        down = (height + tl - 1) // tl
-        if len(offsets) < across * down or len(counts) < len(offsets):
-            raise ImageError("TIFF tile table shorter than the grid")
-        arr = np.zeros((height, width, spp), np.uint8)
-        for ty in range(down):
-            for tx in range(across):
-                off = offsets[ty * across + tx]
-                cnt = counts[ty * across + tx]
-                if off + cnt > len(buf):
-                    raise ImageError("TIFF tile out of range")
-                seg = _tiff_segment_pixels(
-                    bytes(buf[off:off + cnt]), comp, tw, tl,
-                    spp, bits[0], pred, order, t4_2d)
-                hc = min(tl, height - ty * tl)
-                wc = min(tw, width - tx * tw)
-                arr[ty * tl:ty * tl + hc,
-                    tx * tw:tx * tw + wc] = seg[:hc, :wc]
-    else:
+    def assemble(offsets: list[int], counts: list[int]) -> np.ndarray:
+        """All segments of one plane (or the whole chunky image) →
+        (height, width, spp_eff) pixels."""
+        if tiled:
+            # §15 tile organization: tw×tl blocks padded to full size
+            # at the right/bottom edges, left-to-right then top-down
+            tw, tl = one(322), one(323)
+            if not tw or not tl or tw % 16 or tl % 16:
+                raise ImageError(
+                    "TIFF tile dims must be positive ×16 (§15)")
+            across = (width + tw - 1) // tw
+            down = (height + tl - 1) // tl
+            if len(offsets) < across * down or len(counts) < len(offsets):
+                raise ImageError("TIFF tile table shorter than the grid")
+            arr = np.zeros((height, width, spp_eff), np.uint8)
+            for ty in range(down):
+                for tx in range(across):
+                    off = offsets[ty * across + tx]
+                    cnt = counts[ty * across + tx]
+                    if off + cnt > len(buf):
+                        raise ImageError("TIFF tile out of range")
+                    seg = _tiff_segment_pixels(
+                        bytes(buf[off:off + cnt]), comp, tw, tl,
+                        spp_eff, bits[0], pred, order, t4_2d)
+                    hc = min(tl, height - ty * tl)
+                    wc = min(tw, width - tx * tw)
+                    arr[ty * tl:ty * tl + hc,
+                        tx * tw:tx * tw + wc] = seg[:hc, :wc]
+            return arr
         rps = min(max(one(278, height), 1), height)
-        offsets = tags.get(273)
-        if not offsets:
-            raise ImageError("TIFF missing StripOffsets")
-        row_bytes = (width * spp * bits[0] + 7) // 8
-        counts = tags.get(279)
-        if counts is None:
-            if comp != 1 or len(offsets) != 1:
-                raise ImageError("TIFF missing StripByteCounts")
-            counts = [row_bytes * height]
         rows = []
         for s, (off, cnt) in enumerate(zip(offsets, counts)):
             if off + cnt > len(buf):
@@ -1739,12 +1735,32 @@ def decode_tiff(buf: bytes) -> np.ndarray:
                 break
             rows.append(_tiff_segment_pixels(
                 bytes(buf[off:off + cnt]), comp, width, nrows,
-                spp, bits[0], pred, order, t4_2d))
+                spp_eff, bits[0], pred, order, t4_2d))
         if not rows:
             raise ImageError("TIFF has no decodable strips")
         arr = np.concatenate(rows, axis=0)
         if arr.shape[0] != height:
             raise ImageError("TIFF strips do not cover the image height")
+        return arr
+
+    offsets = tags.get(324 if tiled else 273)
+    if not offsets:
+        raise ImageError("TIFF missing segment offsets")
+    counts = tags.get(325 if tiled else 279)
+    if counts is None:
+        if tiled or comp != 1 or len(offsets) != 1:
+            raise ImageError("TIFF missing segment byte counts")
+        counts = [(width * spp * bits[0] + 7) // 8 * height]
+    if planar:
+        n = len(offsets) // 3
+        if n * 3 != len(offsets) or len(counts) < len(offsets):
+            raise ImageError("TIFF planar segment table not ×3")
+        arr = np.concatenate(
+            [assemble(offsets[c * n:(c + 1) * n],
+                      counts[c * n:(c + 1) * n]) for c in range(3)],
+            axis=2)
+    else:
+        arr = assemble(offsets, counts)
 
     if spp == 1:
         arr = arr[:, :, 0]
@@ -1800,7 +1816,8 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
                 rows_per_strip: int | None = None,
                 tile: tuple[int, int] | None = None,
                 palette: np.ndarray | None = None,
-                palette_bits: int = 8) -> bytes:
+                palette_bits: int = 8,
+                planar: bool = False) -> bytes:
     """TIFF 6.0 writer for the fixture/round-trip side: gray ``(h, w)``
     or RGB ``(h, w, 3)``, uint8 (BitsPerSample 8) or uint16 (16),
     chunky; strip-based, or §15 tiled when ``tile=(tw, tl)`` (×16 dims,
@@ -1810,7 +1827,9 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
     photometric 0; g3-2d writes T4Options bit 0); ``predictor=2`` (lzw
     only) exercises §14 horizontal differencing; both byte orders.
     ``palette`` ((n, 3) uint8) writes photometric 3 with ``arr`` as
-    indices at ``palette_bits`` ∈ {4, 8} (strips only)."""
+    indices at ``palette_bits`` ∈ {4, 8} (strips only). ``planar``
+    writes PlanarConfiguration 2: channel-major segment tables, each
+    channel an independent single-sample plane."""
     if arr.dtype not in (np.uint8, np.uint16) or arr.ndim not in (2, 3):
         raise ImageError("encode_tiff wants uint8/uint16 (h,w) or (h,w,3)")
     fax = compression in ("g4", "mh", "g3", "g3-2d")
@@ -1835,29 +1854,43 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
     h, w = arr.shape[:2]
     spp = 1 if arr.ndim == 2 else arr.shape[2]
     sample_bits = 16 if arr.dtype == np.uint16 else 8
+    if planar and (spp != 3 or palette is not None or fax):
+        raise ImageError("planar wants (h, w, 3) samples, no palette/fax")
+    rps = h if rows_per_strip is None else max(1, rows_per_strip)
+
+    def segments_of(img3: np.ndarray) -> list[bytes]:
+        """One plane (c=1) or the chunky image (c=spp) → wire segments
+        (strips, or tiles when ``tile`` is set)."""
+        c = img3.shape[2]
+        segs: list[bytes] = []
+        if tile is not None:
+            tw, tl = tile
+            pad_h = (h + tl - 1) // tl * tl
+            pad_w = (w + tw - 1) // tw * tw
+            full = np.zeros((pad_h, pad_w, c), img3.dtype)
+            full[:h, :w] = img3
+            for ty in range(0, pad_h, tl):
+                for tx in range(0, pad_w, tw):
+                    seg = full[ty:ty + tl, tx:tx + tw].reshape(tl, tw * c)
+                    segs.append(_tiff_encode_segment(
+                        seg, compression, predictor, c, byteorder))
+        else:
+            f = img3.reshape(img3.shape[0], -1)
+            for y0 in range(0, h, rps):
+                segs.append(_tiff_encode_segment(
+                    f[y0:y0 + rps], compression, predictor, c, byteorder))
+        return segs
+
     if palette is not None and palette_bits == 4:
         idx = np.pad(arr, ((0, 0), (0, w % 2))) if w % 2 else arr
-        flat = ((idx[:, ::2] << 4) | idx[:, 1::2]).astype(np.uint8)
+        packed = ((idx[:, ::2] << 4) | idx[:, 1::2]).astype(np.uint8)
+        strips = segments_of(packed[:, :, None])
+    elif planar:
+        # §14 channel-major segment tables: all of R's, then G's, then B's
+        strips = [s for c in range(3)
+                  for s in segments_of(arr[:, :, c:c + 1])]
     else:
-        flat = arr.reshape(h, w * spp)
-
-    strips = []
-    if tile is not None:
-        tw, tl = tile
-        pad_h = (h + tl - 1) // tl * tl
-        pad_w = (w + tw - 1) // tw * tw
-        full = np.zeros((pad_h, pad_w, spp), arr.dtype)
-        full[:h, :w] = arr.reshape(h, w, spp)
-        for ty in range(0, pad_h, tl):
-            for tx in range(0, pad_w, tw):
-                seg = full[ty:ty + tl, tx:tx + tw].reshape(tl, tw * spp)
-                strips.append(_tiff_encode_segment(
-                    seg, compression, predictor, spp, byteorder))
-    else:
-        rps = h if rows_per_strip is None else max(1, rows_per_strip)
-        for y0 in range(0, h, rps):
-            strips.append(_tiff_encode_segment(
-                flat[y0:y0 + rps], compression, predictor, spp, byteorder))
+        strips = segments_of(arr.reshape(h, w, spp))
 
     comp_id = {"none": 1, "lzw": 5, "packbits": 32773, "g4": 4,
                "mh": 2, "g3": 3, "g3-2d": 3}[compression]
@@ -1894,6 +1927,8 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
         (262, 3, [photo_f]),
         (277, 3, [spp]),
     ]
+    if planar:
+        fields.append((284, 3, [2]))
     if compression == "g3-2d":
         fields.append((292, 4, [1]))  # T4Options: 2D coding
     if palette is not None:
@@ -1931,10 +1966,11 @@ def _decode_real(buf: bytes) -> np.ndarray:  # pragma: no cover - no libs here
     except ImportError as exc:
         raise NotImplementedError(
             "exotic raster variants (arithmetic/12-bit/hierarchical "
-            "JPEG, G3-fax/palette/planar TIFF, lossy VP8) need cv2/PIL, "
+            "JPEG, TIFF-JPEG, lossy VP8) need cv2/PIL, "
             "not installed in this environment — PNG, baseline + "
-            "progressive JPEG, strip/tile TIFF (incl. G4 fax, 16-bit), "
-            "and VP8L WebP decode from scratch") from exc
+            "progressive JPEG, strip/tile/planar TIFF (incl. the fax "
+            "family, 16-bit, palettes), and VP8L WebP decode from "
+            "scratch") from exc
     arr = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_UNCHANGED)
     if arr is None:
         raise ImageError("cv2.imdecode failed")

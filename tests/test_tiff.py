@@ -151,11 +151,11 @@ def test_whiteiszero_gray_inverts():
 
 
 def test_unsupported_shapes_route_to_real_hook():
-    """TIFF-JPEG / planar / mismatched shapes must hit the
-    import-guarded real-codec hook (NotImplementedError in this
-    container), NOT decode wrong or crash — same seam as exotic JPEG
-    variants. (Tiled, 16-bit, palette, and the full fax family decode
-    from scratch since r5 — see their tests below.)"""
+    """TIFF-JPEG / mismatched shapes must hit the import-guarded
+    real-codec hook (NotImplementedError in this container), NOT decode
+    wrong or crash — same seam as exotic JPEG variants. (Tiled, 16-bit,
+    palette, planar, and the full fax family decode from scratch since
+    r5 — see their tests below.)"""
     img = _imgs()["flat"]
     for tag, val in ((259, 7),    # Compression: TIFF-JPEG
                      (259, 2),    # fax claimed on 8-bit gray data
@@ -248,6 +248,22 @@ def test_palette_roundtrip(palette_bits, compression):
         out = decode_tiff(buf)
         assert out.shape == (*shape, 3)
         assert (out == pal[idx]).all()
+
+
+@pytest.mark.parametrize("organization", [dict(), dict(rows_per_strip=7),
+                                          dict(tile=(16, 16))])
+def test_planar_roundtrip(organization):
+    """PlanarConfiguration 2: channel-major segment tables, each
+    channel decoded as an independent single-sample plane (predictor
+    per plane), 8- and 16-bit."""
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    for kw in (dict(), dict(compression="lzw", predictor=2)):
+        buf = encode_tiff(img, planar=True, **organization, **kw)
+        assert (decode_tiff(buf) == img).all(), kw
+    img16 = rng.integers(0, 65536, (23, 31, 3), dtype=np.uint16)
+    buf = encode_tiff(img16, byteorder=">", planar=True, **organization)
+    assert (decode_tiff(buf) == (img16 >> 8)).all()
 
 
 def test_palette_short_colormap_routes_to_hook():
